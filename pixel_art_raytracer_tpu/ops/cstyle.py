@@ -1,0 +1,98 @@
+"""C-semantics numeric helpers shared by the oracle and the JAX pipeline.
+
+The reference leans on several C/C++ numeric behaviours that differ from
+numpy/jax defaults, and pixel-exact parity requires reproducing them:
+
+* ``std::min(a, b)`` is ``b < a ? b : a`` and ``std::max(a, b)`` is
+  ``a < b ? b : a`` — NaN-asymmetric, unlike ``jnp.minimum`` which propagates
+  NaN.  The shadow slab test (alternative.cpp:40-83) divides by ray direction
+  components that can be zero, producing inf/NaN operands, so the exact
+  comparison form is observable.
+* C integer division truncates toward zero; Python's ``//`` floors.  Bin-range
+  and bin-coordinate computations (alternative.cpp:222-240, 724-732) divide
+  possibly-negative ints.
+* ``static_cast<unsigned char>(float)`` truncates toward zero
+  (sprites.hpp:9-15); ``astype(uint8)`` happens to match for in-range
+  non-negative values, which is the case here (color * factor, factor >= 0).
+
+All helpers are array-module agnostic: pass numpy arrays / scalars and they
+stay in numpy; pass jax arrays and they trace.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _xp(*args):
+    """Pick jax.numpy if any argument is a jax tracer/array, else numpy."""
+    for a in args:
+        if type(a).__module__.startswith("jax") or hasattr(a, "aval"):
+            import jax.numpy as jnp
+
+            return jnp
+    return np
+
+
+def c_min(a, b):
+    """``std::min(a, b)`` == ``b < a ? b : a`` (keeps ``a`` when unordered)."""
+    xp = _xp(a, b)
+    return xp.where(b < a, b, a)
+
+
+def c_max(a, b):
+    """``std::max(a, b)`` == ``a < b ? b : a`` (keeps ``a`` when unordered)."""
+    xp = _xp(a, b)
+    return xp.where(a < b, b, a)
+
+
+def c_div(a, b):
+    """C integer division: truncate toward zero.  Operands int32 arrays/ints."""
+    xp = _xp(a, b)
+    if xp is np:
+        # np.floor_divide floors; emulate truncation.
+        q = np.floor_divide(a, b)
+        r = a - q * b
+        # If remainder nonzero and signs of a,b differ, floor went one too low.
+        adjust = (r != 0) & ((np.asarray(a) < 0) != (np.asarray(b) < 0))
+        return (q + adjust).astype(np.int32) if hasattr(q, "astype") else int(q + adjust)
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    # lax.div on signed ints is C-style (rounds toward zero).
+    return lax.div(jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32))
+
+
+def trunc_to_int(x):
+    """``static_cast<int>(float)`` — truncation toward zero."""
+    xp = _xp(x)
+    if xp is np:
+        return np.asarray(x).astype(np.int32)
+    import jax.numpy as jnp
+
+    return x.astype(jnp.int32)
+
+
+def scale_color_u8(color, factor):
+    """``Color::operator*(float)`` (sprites.hpp:8-16).
+
+    Per-channel ``u8(float(channel) * factor)`` with C truncation.  ``color``
+    is a uint8 array whose trailing dim is RGB(A); alpha is left untouched by
+    the reference, but all callers here pass RGB-only arrays.
+    ``factor`` broadcasts (e.g. per-pixel brightness map).
+    """
+    xp = _xp(color, factor)
+    scaled = color.astype(xp.float32) * factor
+    return scaled.astype(xp.uint8)
+
+
+def l1_normalize(x, y, z):
+    """L1 ("Manhattan") normalisation — ``Vector::normalize`` (sprites.hpp:28-35).
+
+    Note this is *not* Euclidean; the reference uses the sum of absolute
+    components as the length.  Division by a zero length yields inf/NaN, same
+    as the reference.
+    """
+    xp = _xp(x, y, z)
+    length = xp.abs(x) + xp.abs(y) + xp.abs(z)
+    return x / length, y / length, z / length
