@@ -1,0 +1,111 @@
+"""The flagship deferred renderer: rebin -> primary trace -> shadowed shade.
+
+This is the device-side equivalent of the reference's per-frame pipeline
+(alternative.cpp:628-817): rebuild the spatial hash, write the G-buffer,
+then light it with marched shadow rays.  The whole frame is one jitted
+function of (scene arrays, light, player position), so animation loops stay
+on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig, DEFAULT_CONFIG
+from ..scene import Scene, Light
+from ..ops import binning, trace, shade as shade_ops
+from ..ops.trace import GBufferArrays
+
+
+class DeviceScene(NamedTuple):
+    """Scene frozen onto the device: a pytree of plain arrays.
+
+    The atlas is stored once (entities carry ids) — the SoA fix for the
+    reference's per-entity 16 KB sprite copies (quirk Q7).
+    """
+
+    pos: jax.Array           # (N, 3) int32
+    ext: jax.Array           # (N, 3) int32
+    sprite_id: jax.Array     # (N,) int32
+    atlas_color: jax.Array   # (S, SH, SW) int32
+    atlas_depth: jax.Array   # (S, SH, SW) int32
+    atlas_normal: jax.Array  # (S, SH, SW, 3) float32
+    palette: jax.Array       # (P, 4) uint8
+
+    @classmethod
+    def from_scene(cls, scene: Scene,
+                   config: RenderConfig = DEFAULT_CONFIG) -> "DeviceScene":
+        return cls(
+            pos=jnp.asarray(scene.pos, jnp.int32),
+            ext=jnp.asarray(scene.ext, jnp.int32),
+            sprite_id=jnp.asarray(scene.sprite_id, jnp.int32),
+            atlas_color=jnp.asarray(scene.atlas.color, jnp.int32),
+            atlas_depth=jnp.asarray(scene.atlas.depth, jnp.int32),
+            atlas_normal=jnp.asarray(scene.atlas.normal, jnp.float32),
+            palette=jnp.asarray(config.palette_array, jnp.uint8),
+        )
+
+
+class DeferredRenderer:
+    """Jit-compiled full-frame renderer with reference-parity semantics.
+
+    Usage:
+        r = DeferredRenderer(config)
+        dscene = DeviceScene.from_scene(scene, config)
+        frame = r.render(dscene, light_xyz)          # (H, W, 3) uint8
+        gbuf, frame = r.render_with_gbuffer(dscene, light_xyz)
+    """
+
+    def __init__(self, config: RenderConfig = DEFAULT_CONFIG,
+                 spans: tuple[int, int, int] | None = None,
+                 shadow_max_steps: int = 16):
+        self.config = config
+        # Static per-entity bin-span bound; (2, 3, 2) covers any scene whose
+        # extents stay within one bin (the reference world is all 20-cubes).
+        self.spans = spans if spans is not None else (2, 3, 2)
+        self.shadow_max_steps = shadow_max_steps
+
+    def spans_for(self, scene: Scene) -> tuple[int, int, int]:
+        return binning.entity_span_bound(scene.ext.max(axis=0), self.config)
+
+    # -- pipeline stages (all pure functions of arrays) --------------------
+
+    def build_bins(self, dscene: DeviceScene):
+        return binning.build_bins(dscene.pos, dscene.ext, self.config,
+                                  self.spans)
+
+    def trace(self, dscene: DeviceScene, bins_ent, counts) -> GBufferArrays:
+        return trace.trace_pixels(dscene.pos, dscene.ext, dscene.sprite_id,
+                                  dscene.atlas_color, dscene.atlas_depth,
+                                  dscene.atlas_normal, dscene.palette,
+                                  bins_ent, counts, self.config)
+
+    def shade(self, dscene: DeviceScene, gbuf: GBufferArrays, bins_ent,
+              counts, light: jax.Array) -> jax.Array:
+        return shade_ops.shade(dscene.pos, dscene.ext, gbuf, bins_ent, counts,
+                               light, self.config, self.shadow_max_steps)
+
+    # -- whole-frame entry points ------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def render_with_gbuffer(self, dscene: DeviceScene, light: jax.Array):
+        bins_ent, counts = self.build_bins(dscene)
+        gbuf = self.trace(dscene, bins_ent, counts)
+        frame = self.shade(dscene, gbuf, bins_ent, counts, light)
+        return gbuf, frame
+
+    def render(self, dscene: DeviceScene, light) -> jax.Array:
+        light = jnp.asarray(light, jnp.int32)
+        _, frame = self.render_with_gbuffer(dscene, light)
+        return frame
+
+    # -- host conveniences -------------------------------------------------
+
+    def render_numpy(self, scene: Scene, light: Light) -> np.ndarray:
+        dscene = DeviceScene.from_scene(scene, self.config)
+        return np.asarray(self.render(dscene, light.as_array()))

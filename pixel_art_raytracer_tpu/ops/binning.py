@@ -1,0 +1,122 @@
+"""Spatial-hash binning as a JAX array program.
+
+The reference rebuilds its uniform hash grid every frame with a serial
+scatter loop over all entities (``count_entities_in_bins``,
+alternative.cpp:195-269).  A serial scatter does not vectorise, so here the
+rebuild is expressed TPU-style:
+
+  1. enumerate (entity, covered-bin) pairs over a *static* per-entity offset
+     grid (the grid bound comes from the scene's maximum extents, so shapes
+     stay static under jit),
+  2. stable-sort the pairs by flat bin id — pair order inside a bin is then
+     exactly the reference's insertion order (entity-major, bin offsets
+     x-major/y/z),
+  3. per-bin ranks come from the sorted order; the wrap-at-capacity overwrite
+     (quirk Q3, alternative.cpp:259-264) reduces to "rank r survives iff
+     r >= total - capacity, landing in slot r & (capacity-1)", and the
+     tracer-visible occupancy is ``total & (capacity-1)``,
+  4. one deterministic scatter (all surviving (bin, slot) targets are unique)
+     builds the dense ``(hash_volume, capacity)`` table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig, DEFAULT_CONFIG
+from .cstyle import c_div
+
+
+def entity_span_bound(ext_max: np.ndarray, config: RenderConfig) -> tuple[int, int, int]:
+    """Static per-axis bound on how many bins one entity can cover.
+
+    ``ext_max`` is the elementwise max extent over the scene (host numpy).
+    The y range shears with z (screen-space), so its bound uses ey+ez.
+    """
+    bs = config.bin_size
+    ex, ey, ez = (int(v) for v in ext_max)
+    return (ex // bs + 2, (ey + ez) // bs + 2, ez // bs + 2)
+
+
+def build_bins(pos: jax.Array, ext: jax.Array, config: RenderConfig,
+               spans: tuple[int, int, int]):
+    """Rebuild the hash grid.  jit-friendly; ``config`` and ``spans`` static.
+
+    Args:
+      pos, ext: (N, 3) int32 device arrays.
+      spans: static (Ax, Ay, Az) offset-grid bound from ``entity_span_bound``.
+
+    Returns:
+      bins_ent: (hash_volume, capacity) int32, -1 for empty slots.
+      counts:   (hash_volume,) int32 — the wrap-visible occupancy.
+    """
+    cfg = config
+    bs = cfg.bin_size
+    vh = jnp.int32(cfg.view_height)
+    cap = cfg.bin_capacity
+    V = cfg.hash_volume
+    N = pos.shape[0]
+    Ax, Ay, Az = spans
+    K = Ax * Ay * Az
+
+    x0, y0, z0 = pos[:, 0], pos[:, 1], pos[:, 2]
+    x1, y1, z1 = x0 + ext[:, 0], y0 + ext[:, 1], z0 + ext[:, 2]
+
+    # View cull (alternative.cpp:212-219).
+    culled = ((x1 < 0) | (x0 >= cfg.view_width)
+              | (y1 < -z1)
+              | (y0 >= vh - z0 + bs)
+              | (z1 < -ext[:, 2] - bs)
+              | (z0 > cfg.view_length + bs))
+
+    # Covered bin ranges with C-truncating division (alternative.cpp:222-240).
+    min_xi = jnp.maximum(0, c_div(x0, bs))
+    min_yi = jnp.maximum(0, c_div(vh - y1 - z1, bs))
+    min_zi = jnp.maximum(0, c_div(z0, bs))
+    max_xi = jnp.minimum(cfg.hash_width, c_div(x1 + bs - 1, bs))
+    max_yi = jnp.minimum(cfg.hash_height, c_div(vh - y0 - z0 + bs - 1, bs))
+    max_zi = jnp.minimum(cfg.hash_length, c_div(z1 + bs - 1, bs))
+
+    # Static offset grid, lexicographic in (x, y, z) to match the reference's
+    # scatter loop nesting (alternative.cpp:243-245).
+    oa, ob, oc = np.meshgrid(np.arange(Ax), np.arange(Ay), np.arange(Az),
+                             indexing="ij")
+    oa = jnp.asarray(oa.reshape(-1), jnp.int32)   # (K,)
+    ob = jnp.asarray(ob.reshape(-1), jnp.int32)
+    oc = jnp.asarray(oc.reshape(-1), jnp.int32)
+
+    bx = min_xi[:, None] + oa[None, :]            # (N, K)
+    by = min_yi[:, None] + ob[None, :]
+    bz = min_zi[:, None] + oc[None, :]
+    valid = (~culled[:, None]
+             & (bx < max_xi[:, None]) & (by < max_yi[:, None])
+             & (bz < max_zi[:, None]))
+
+    flat = (bx * cfg.hash_height + by) * cfg.hash_length + bz
+    flat = jnp.where(valid, flat, V).reshape(N * K)
+
+    # Stable sort keeps insertion order within each bin.
+    order = jnp.argsort(flat, stable=True)
+    sorted_bin = flat[order]
+    pair_ent = (order // K).astype(jnp.int32)
+
+    # Rank within each bin segment.
+    idx = jnp.arange(N * K, dtype=jnp.int32)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_bin[1:] != sorted_bin[:-1]])
+    rank = idx - jax.lax.cummax(jnp.where(seg_start, idx, 0))
+
+    # Total insertions per bin (before the wrap).
+    totals = jnp.zeros(V + 1, jnp.int32).at[flat].add(1)
+
+    tot_here = totals[sorted_bin]
+    keep = (sorted_bin < V) & (rank >= tot_here - cap)
+    slot = rank & (cap - 1)
+    target = jnp.where(keep, sorted_bin * cap + slot, V * cap)
+
+    bins_ent = jnp.full(V * cap, -1, jnp.int32)
+    bins_ent = bins_ent.at[target].set(pair_ent, mode="drop")
+    counts = totals[:V] & (cap - 1)
+    return bins_ent.reshape(V, cap), counts

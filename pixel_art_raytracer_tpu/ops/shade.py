@@ -1,0 +1,70 @@
+"""Deferred lighting: L1-Lambert + ambient, gated by the shadow march.
+
+Transcribes the inline lighting loop in the reference's frame loop
+(alternative.cpp:702-760): ambient-only by default, full Lambert + ambient
+where the shadow ray reports the light reachable.  All float math stays in
+float32 with the reference's ``std::min/std::max`` argument order; the final
+u8 color scale truncates (sprites.hpp:8-16).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from .cstyle import c_min, c_max, c_div
+from .shadow import trace_light
+from .trace import GBufferArrays
+
+
+def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
+          bins_ent: jax.Array, counts: jax.Array, light: jax.Array,
+          config: RenderConfig, max_steps: int = 16) -> jax.Array:
+    """Light the G-buffer; returns the (H, W, 3) uint8 frame.
+
+    ``light`` is an (3,) int32 array (x, y, z) — traced, so animated lights
+    don't retrigger compilation.
+    """
+    cfg = config
+    H, W = cfg.view_height, cfg.view_width
+    f32 = jnp.float32
+    bs = cfg.bin_size
+
+    wx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (H, W))
+    wy = gbuf.y
+    wz = gbuf.z
+
+    lx, ly, lz = light[0], light[1], light[2]
+    dx = lx.astype(f32) - wx.astype(f32)
+    dy = ly.astype(f32) - wy.astype(f32)
+    dz = lz.astype(f32) - wz.astype(f32)
+    # L1 normalisation (sprites.hpp:28-35, quirk Q2).
+    length = jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz)
+    tlx, tly, tlz = dx / length, dy / length, dz / length
+    # Barrier: XLA's algebraic simplifier would fold 1/(d/len) into len/d,
+    # removing one f32 rounding and flipping knife-edge shadow results.
+    tlx, tly, tlz = jax.lax.optimization_barrier((tlx, tly, tlz))
+    inv = (f32(1.0) / tlx, f32(1.0) / tly, f32(1.0) / tlz)
+
+    # Bin coordinates (alternative.cpp:724-732), C-truncating division.
+    rbx = c_div(wx, bs)
+    rby = c_div(jnp.int32(cfg.view_height) - wy - wz, bs)
+    rbz = c_div(wz, bs)
+    lbx = c_div(lx, bs)
+    lby = c_div(jnp.int32(cfg.view_height) - ly - lz, bs)
+    lbz = c_div(lz, bs)
+
+    lit = trace_light(pos, ext, bins_ent, counts, (rbx, rby, rbz),
+                      (lbx, lby, lbz), gbuf.entity_index,
+                      (wx.astype(f32), wy.astype(f32), wz.astype(f32)),
+                      inv, cfg, max_steps)
+
+    n = gbuf.normal
+    dot = n[..., 0] * tlx + n[..., 1] * tly + n[..., 2] * tlz
+    diffuse = c_max(f32(0.0), dot)                    # std::max<float>(0, ·)
+    brightness = c_min(f32(1.0), diffuse + f32(cfg.ambient))
+    factor = jnp.where(lit, brightness, f32(cfg.ambient))
+
+    rgb = gbuf.color[..., :3].astype(f32) * factor[..., None]
+    return rgb.astype(jnp.uint8)
