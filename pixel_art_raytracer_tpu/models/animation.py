@@ -1,0 +1,138 @@
+"""Animation runtime: jitted step + batched multi-frame rendering.
+
+The reference's interactivity is integer field writes driven by key events,
+picked up by the next frame's rebin/trace (alternative.cpp:628-687; SURVEY.md
+§3.5).  The framework equivalent is a ``WorldState`` pytree evolved by a pure
+``step`` function and a ``lax.scan`` over frames, so a whole animation batch
+compiles into one device program.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig, DEFAULT_CONFIG
+from .deferred import DeferredRenderer, DeviceScene
+
+# Key step size (alternative.cpp:643-678): every binding moves by 5 units.
+KEY_STEP = 5
+
+# Key -> (target, axis, sign): arrows/page move the player box (entity 0),
+# a/k/j/u/h/o move the light.
+KEY_BINDINGS = {
+    "left": ("player", 0, -1),
+    "right": ("player", 0, +1),
+    "up": ("player", 2, +1),
+    "down": ("player", 2, -1),
+    "pagedown": ("player", 1, -1),
+    "pageup": ("player", 1, +1),
+    "a": ("light", 2, -1),
+    "k": ("light", 2, +1),
+    "j": ("light", 1, -1),
+    "u": ("light", 1, +1),
+    "h": ("light", 0, -1),
+    "o": ("light", 0, +1),
+}
+
+
+class WorldState(NamedTuple):
+    """Per-frame mutable world state (the rest of the scene is static)."""
+
+    player_pos: jax.Array  # (3,) int32 — entity 0 position
+    light: jax.Array       # (3,) int32
+
+
+def apply_keys(state: WorldState, keys: list[str]) -> WorldState:
+    """Host-side event application, one frame's worth of key presses."""
+    player = np.asarray(state.player_pos)
+    light = np.asarray(state.light)
+    for key in keys:
+        target, axis, sign = KEY_BINDINGS[key]
+        if target == "player":
+            player = player.copy()
+            player[axis] += sign * KEY_STEP
+        else:
+            light = light.copy()
+            light[axis] += sign * KEY_STEP
+    return WorldState(player_pos=jnp.asarray(player, jnp.int32),
+                      light=jnp.asarray(light, jnp.int32))
+
+
+def scene_with_player(dscene: DeviceScene, player_pos: jax.Array) -> DeviceScene:
+    """Functionally update entity 0's position (the reference's player)."""
+    return dscene._replace(pos=dscene.pos.at[0].set(player_pos))
+
+
+class AnimationRenderer:
+    """Batched multi-frame renderer: scan(step -> render) fully on device."""
+
+    def __init__(self, renderer: DeferredRenderer | None = None,
+                 config: RenderConfig = DEFAULT_CONFIG):
+        self.renderer = renderer or DeferredRenderer(config)
+        self.config = self.renderer.config
+        self._render_states_jit = jax.jit(self._render_states)
+
+    def render_states(self, dscene: DeviceScene, player_pos: jax.Array,
+                      lights: jax.Array) -> jax.Array:
+        """Render one frame per state row.
+
+        player_pos: (F, 3) int32, lights: (F, 3) int32.
+        Returns (F, H, W, 3) uint8.  Compiled once per (scene shape, F).
+        """
+        return self._render_states_jit(dscene, player_pos, lights)
+
+    def _frame(self, dscene, player, light):
+        r = self.renderer
+        scene_f = scene_with_player(dscene, player)
+        bins_ent, counts = r.build_bins(scene_f)
+        gbuf = r.trace(scene_f, bins_ent, counts)
+        return r.shade(scene_f, gbuf, bins_ent, counts, light)
+
+    def _render_states(self, dscene, player_pos, lights):
+        def body(_, pl):
+            player, light = pl
+            return None, self._frame(dscene, player, light)
+
+        _, frames = jax.lax.scan(body, None, (player_pos, lights))
+        return frames
+
+    # -- scripted sweeps ---------------------------------------------------
+
+    def light_sweep_states(self, n_frames: int, player_pos,
+                           center=None, radius: int = 140):
+        """A circular light sweep (the demo-gif-style camera/light motion)."""
+        cfg = self.config
+        if center is None:
+            center = (cfg.view_width // 2, cfg.view_height // 2,
+                      cfg.view_length // 4)
+        t = np.linspace(0.0, 2.0 * np.pi, n_frames, endpoint=False)
+        lx = (center[0] + radius * np.cos(t)).astype(np.int32)
+        ly = np.full(n_frames, center[1], np.int32)
+        lz = (center[2] + (radius // 2) * np.sin(t)).astype(np.int32)
+        lights = np.stack([lx, ly, lz], axis=1)
+        players = np.broadcast_to(np.asarray(player_pos, np.int32),
+                                  (n_frames, 3))
+        return (jnp.asarray(players), jnp.asarray(lights))
+
+    def render_script(self, dscene: DeviceScene, initial: WorldState,
+                      script: list[list[str]]) -> tuple[jax.Array, WorldState]:
+        """Apply a per-frame key-event script, render each resulting frame.
+
+        Mirrors the reference event loop: events mutate state, the next
+        frame renders the mutated world.  Returns (frames, final_state).
+        """
+        players, lights = [], []
+        state = initial
+        for keys in script:
+            state = apply_keys(state, keys)
+            players.append(np.asarray(state.player_pos))
+            lights.append(np.asarray(state.light))
+        frames = self.render_states(
+            dscene,
+            jnp.asarray(np.stack(players), jnp.int32),
+            jnp.asarray(np.stack(lights), jnp.int32))
+        return frames, state

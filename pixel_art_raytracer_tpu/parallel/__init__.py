@@ -1,0 +1,7 @@
+"""Multi-chip scaling via jax.sharding meshes."""
+
+from .mesh import (make_mesh, render_frames_sharded, sharded_train_step,
+                   frame_axis, row_axis)
+
+__all__ = ["make_mesh", "render_frames_sharded", "sharded_train_step",
+           "frame_axis", "row_axis"]

@@ -1,0 +1,85 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pixel_art_raytracer_tpu.config import RenderConfig
+from pixel_art_raytracer_tpu.scene import SceneBuilder
+from pixel_art_raytracer_tpu.models.deferred import DeferredRenderer, DeviceScene
+from pixel_art_raytracer_tpu.models.animation import AnimationRenderer
+from pixel_art_raytracer_tpu.models.inverse import InverseLightFitter
+from pixel_art_raytracer_tpu.parallel import (make_mesh,
+                                              render_frames_sharded,
+                                              sharded_train_step)
+
+SMALL = RenderConfig(view_width=80, view_height=80, view_length=80)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def small_scene():
+    b = SceneBuilder(config=SMALL)
+    b.insert((30, 20, 20), (20, 20, 20))
+    for i in range(3):
+        for j in range(3):
+            b.insert((i * 24, 0, j * 24), (16, 16, 16))
+    return b.build()
+
+
+def setup():
+    scene = small_scene()
+    r = DeferredRenderer(SMALL, shadow_max_steps=8)
+    r.spans = r.spans_for(scene)
+    anim = AnimationRenderer(r, SMALL)
+    ds = DeviceScene.from_scene(scene, SMALL)
+    players = jnp.broadcast_to(jnp.asarray(scene.pos[0], jnp.int32), (8, 3))
+    lights = jnp.asarray(np.stack([40 + 4 * np.arange(8),
+                                   np.full(8, 60), np.full(8, 20)], 1),
+                         jnp.int32)
+    return scene, r, anim, ds, players, lights
+
+
+class TestShardedRender:
+    def test_matches_unsharded(self):
+        _, r, anim, ds, players, lights = setup()
+        mesh = make_mesh(8)
+        assert mesh.devices.size == 8
+        sharded = render_frames_sharded(anim, ds, players, lights, mesh)
+        unsharded = anim.render_states(ds, players, lights)
+        np.testing.assert_array_equal(np.asarray(sharded),
+                                      np.asarray(unsharded))
+
+    def test_mesh_shapes(self):
+        mesh = make_mesh(8)
+        assert mesh.axis_names == ("frames", "rows")
+        assert mesh.devices.shape[0] * mesh.devices.shape[1] == 8
+
+    def test_frame_only_mesh(self):
+        _, r, anim, ds, players, lights = setup()
+        mesh = make_mesh(8, frame_parallel=8)
+        sharded = render_frames_sharded(anim, ds, players, lights, mesh)
+        unsharded = anim.render_states(ds, players, lights)
+        np.testing.assert_array_equal(np.asarray(sharded),
+                                      np.asarray(unsharded))
+
+
+class TestShardedTraining:
+    def test_step_matches_single_device(self):
+        _, r, anim, ds, players, lights = setup()
+        fitter = InverseLightFitter(SMALL, r, with_shadows=False)
+        frames = anim.render_states(ds, players, lights)
+        targets = jnp.asarray(np.asarray(frames), jnp.float32) / 255.0
+
+        light0, opt0 = fitter.init(np.array([20.0, 20.0, 40.0]))
+        l_ref, _, loss_ref = fitter.train_step(light0, opt0, ds, targets)
+
+        mesh = make_mesh(8)
+        light0, opt0 = fitter.init(np.array([20.0, 20.0, 40.0]))
+        l_sh, _, loss_sh = sharded_train_step(fitter, light0, opt0, ds,
+                                              targets, mesh)
+        assert abs(float(loss_ref) - float(loss_sh)) < 1e-6
+        np.testing.assert_allclose(np.asarray(l_ref), np.asarray(l_sh),
+                                   rtol=1e-5)
