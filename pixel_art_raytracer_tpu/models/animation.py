@@ -71,9 +71,14 @@ class AnimationRenderer:
     """Batched multi-frame renderer: scan(step -> render) fully on device."""
 
     def __init__(self, renderer: DeferredRenderer | None = None,
-                 config: RenderConfig = DEFAULT_CONFIG):
+                 config: RenderConfig = DEFAULT_CONFIG,
+                 static_bins=None):
+        """``static_bins``: an ops.static_bins.StaticBins cache for the
+        scene's static tail; when given, per-frame binning merges only the
+        dynamic entities (bit-identical tables, far cheaper)."""
         self.renderer = renderer or DeferredRenderer(config)
         self.config = self.renderer.config
+        self.static_bins = static_bins
         self._render_states_jit = jax.jit(self._render_states)
 
     def render_states(self, dscene: DeviceScene, player_pos: jax.Array,
@@ -88,7 +93,12 @@ class AnimationRenderer:
     def _frame(self, dscene, player, light):
         r = self.renderer
         scene_f = scene_with_player(dscene, player)
-        bins_ent, counts = r.build_bins(scene_f)
+        if self.static_bins is not None:
+            d = self.static_bins.n_dynamic
+            bins_ent, counts = self.static_bins.merge(scene_f.pos[:d],
+                                                      scene_f.ext[:d])
+        else:
+            bins_ent, counts = r.build_bins(scene_f)
         gbuf = r.trace(scene_f, bins_ent, counts)
         return r.shade(scene_f, gbuf, bins_ent, counts, light)
 
