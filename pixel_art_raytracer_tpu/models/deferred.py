@@ -36,10 +36,17 @@ class DeviceScene(NamedTuple):
     atlas_depth: jax.Array   # (S, SH, SW) int32
     atlas_normal: jax.Array  # (S, SH, SW, 3) float32
     palette: jax.Array       # (P, 4) uint8
+    # Per-sprite ramp-depth parameters (d0, slope) when every sprite's depth
+    # map is max(0, d0 - slope*row) — enables the gather-free Pallas tracer.
+    depth_d0: jax.Array | None = None
+    depth_slope: jax.Array | None = None
 
     @classmethod
     def from_scene(cls, scene: Scene,
                    config: RenderConfig = DEFAULT_CONFIG) -> "DeviceScene":
+        from ..ops.trace_pallas import ramp_depth_params
+
+        params = ramp_depth_params(np.asarray(scene.atlas.depth))
         return cls(
             pos=jnp.asarray(scene.pos, jnp.int32),
             ext=jnp.asarray(scene.ext, jnp.int32),
@@ -48,6 +55,8 @@ class DeviceScene(NamedTuple):
             atlas_depth=jnp.asarray(scene.atlas.depth, jnp.int32),
             atlas_normal=jnp.asarray(scene.atlas.normal, jnp.float32),
             palette=jnp.asarray(config.palette_array, jnp.uint8),
+            depth_d0=None if params is None else jnp.asarray(params[0]),
+            depth_slope=None if params is None else jnp.asarray(params[1]),
         )
 
 
@@ -63,12 +72,18 @@ class DeferredRenderer:
 
     def __init__(self, config: RenderConfig = DEFAULT_CONFIG,
                  spans: tuple[int, int, int] | None = None,
-                 shadow_max_steps: int = 16):
+                 shadow_max_steps: int = 16, shadow_impl: str = "scan",
+                 shadow_tables=None, trace_impl: str = "auto"):
         self.config = config
         # Static per-entity bin-span bound; (2, 3, 2) covers any scene whose
         # extents stay within one bin (the reference world is all 20-cubes).
         self.spans = spans if spans is not None else (2, 3, 2)
         self.shadow_max_steps = shadow_max_steps
+        self.shadow_impl = shadow_impl
+        self.shadow_tables = shadow_tables
+        # 'pallas': gather-free TPU kernel (requires a ramp-depth atlas);
+        # 'jnp': candidate-scan tracer; 'auto': pallas when the scene allows.
+        self.trace_impl = trace_impl
 
     def spans_for(self, scene: Scene) -> tuple[int, int, int]:
         return binning.entity_span_bound(scene.ext.max(axis=0), self.config)
@@ -80,6 +95,19 @@ class DeferredRenderer:
                                   self.spans)
 
     def trace(self, dscene: DeviceScene, bins_ent, counts) -> GBufferArrays:
+        use_pallas = (self.trace_impl == "pallas"
+                      or (self.trace_impl == "auto"
+                          and dscene.depth_d0 is not None))
+        if use_pallas:
+            from ..ops import trace_pallas
+
+            assert dscene.depth_d0 is not None, \
+                "pallas tracer needs a ramp-depth atlas"
+            return trace_pallas.trace_pixels_pallas(
+                dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
+                dscene.atlas_depth, dscene.atlas_normal, dscene.palette,
+                bins_ent, counts, self.config,
+                (dscene.depth_d0, dscene.depth_slope))
         return trace.trace_pixels(dscene.pos, dscene.ext, dscene.sprite_id,
                                   dscene.atlas_color, dscene.atlas_depth,
                                   dscene.atlas_normal, dscene.palette,
@@ -88,7 +116,8 @@ class DeferredRenderer:
     def shade(self, dscene: DeviceScene, gbuf: GBufferArrays, bins_ent,
               counts, light: jax.Array) -> jax.Array:
         return shade_ops.shade(dscene.pos, dscene.ext, gbuf, bins_ent, counts,
-                               light, self.config, self.shadow_max_steps)
+                               light, self.config, self.shadow_max_steps,
+                               self.shadow_impl, self.shadow_tables)
 
     # -- whole-frame entry points ------------------------------------------
 

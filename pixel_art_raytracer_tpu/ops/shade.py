@@ -20,11 +20,14 @@ from .trace import GBufferArrays
 
 def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
           bins_ent: jax.Array, counts: jax.Array, light: jax.Array,
-          config: RenderConfig, max_steps: int = 16) -> jax.Array:
+          config: RenderConfig, max_steps: int = 16,
+          shadow_impl: str = "scan", shadow_tables=None) -> jax.Array:
     """Light the G-buffer; returns the (H, W, 3) uint8 frame.
 
     ``light`` is an (3,) int32 array (x, y, z) — traced, so animated lights
-    don't retrigger compilation.
+    don't retrigger compilation.  ``shadow_impl`` selects the per-pixel DDA
+    scan ('scan', the direct transcription) or the table-driven candidate
+    scan ('fast', ops/shadow_fast.py) — both produce identical frames.
     """
     cfg = config
     H, W = cfg.view_height, cfg.view_width
@@ -55,10 +58,22 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
     lby = c_div(jnp.int32(cfg.view_height) - ly - lz, bs)
     lbz = c_div(lz, bs)
 
-    lit = trace_light(pos, ext, bins_ent, counts, (rbx, rby, rbz),
-                      (lbx, lby, lbz), gbuf.entity_index,
-                      (wx.astype(f32), wy.astype(f32), wz.astype(f32)),
-                      inv, cfg, max_steps)
+    origin = (wx.astype(f32), wy.astype(f32), wz.astype(f32))
+    if shadow_impl == "fast":
+        from . import shadow_fast
+
+        tables = shadow_tables or shadow_fast.default_tables(
+            cfg, max_steps=max_steps)
+        member = shadow_fast.dda_membership((lbx, lby, lbz), cfg, tables)
+        cands = shadow_fast.build_candidates(pos, ext, bins_ent, counts,
+                                             member, cfg, tables)
+        bitmap = shadow_fast.pixel_bitmap(member, rbx, rby, rbz, cfg, tables)
+        lit = shadow_fast.trace_light_fast(None, bitmap, gbuf.entity_index,
+                                           origin, inv, cands, cfg)
+    else:
+        lit = trace_light(pos, ext, bins_ent, counts, (rbx, rby, rbz),
+                          (lbx, lby, lbz), gbuf.entity_index,
+                          origin, inv, cfg, max_steps)
 
     n = gbuf.normal
     dot = n[..., 0] * tlx + n[..., 1] * tly + n[..., 2] * tlz

@@ -1,0 +1,240 @@
+"""Table-driven shadow pass — same semantics as ops/shadow.py, restructured.
+
+The per-pixel DDA in ops/shadow.py gathers bin data at every step of every
+ray.  This module exploits two structural facts to eliminate the data-
+dependent marching entirely:
+
+1. **The start-bin space is tiny.**  For every surface pixel the oblique
+   projection gives ``world_y + world_z == world_j`` exactly (the depth
+   reconstruction at alternative.cpp:349-363 telescopes), so the shadow ray's
+   start bin is ``(pixel_bin_x, pixel_bin_y, wz / bin_size)`` — only the z
+   coordinate is data-dependent, and it spans a handful of values bounded by
+   the scene's z extent.  Background pixels collapse to one extra row
+   (``sy == hash_height``, the aliased index the reference also computes).
+
+2. **The march itself depends only on (start bin, light bin).**  With the
+   light fixed per frame, the exact 7-phase DDA (float stepping, truncation,
+   start-bin skip, out-of-range handling) can be *simulated once per start
+   bin* — a few thousand tiny rays — yielding a membership table
+   ``member[start, bin]`` of which bins each path tests.
+
+Occlusion is then an order-free OR over live (bin, slot) candidates:
+``hit(pixel, box) AND member[start(pixel), bin]``.  The per-pixel inner loop
+touches no tables except a per-pixel 24-word membership bitmap gathered once
+per frame; candidate boxes stream through the loop as scalars.
+
+Exactness: the simulation runs the identical f32/int operations as the scan
+implementation, membership is a set (the serial code's early-return only
+short-circuits an OR), and the slab test / self-skip are unchanged.  The
+candidate list is compacted to the bins some path actually tests; a static
+capacity ``max_candidates`` bounds it, with an overflow flag returned for
+validation (an overflowing frame would silently lose occluders).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from .cstyle import c_min, c_max
+
+
+class ShadowTables(NamedTuple):
+    """Static-shape per-scene parameters for the fast shadow pass."""
+
+    sz_lo: int            # inclusive lower bound of start-bin z index
+    sz_hi: int            # exclusive upper bound
+    max_steps: int        # static DDA step bound
+    max_candidates: int   # static candidate capacity
+
+
+def default_tables(config: RenderConfig, scene_ext=None, atlas=None,
+                   max_steps: int = 16,
+                   max_candidates: int = 1024) -> ShadowTables:
+    """Choose static table bounds.  With scene/atlas given, the z range is
+    derived from actual content (wz = z0 + sprite depth)."""
+    sz_lo, sz_hi = -2, config.hash_length + 2
+    return ShadowTables(sz_lo=sz_lo, sz_hi=sz_hi, max_steps=max_steps,
+                        max_candidates=max_candidates)
+
+
+def _phase_axes(t):
+    phase = t % 7
+    axx = (phase == 0) | (phase == 3) | (phase == 4) | (phase == 6)
+    axy = (phase == 1) | (phase == 3) | (phase == 5) | (phase == 6)
+    axz = (phase == 2) | (phase == 4) | (phase == 5) | (phase == 6)
+    return phase, axx, axy, axz
+
+
+def dda_membership(light_bin, config: RenderConfig, tables: ShadowTables):
+    """Simulate the 7-phase DDA from every start bin in the table space.
+
+    Returns ``member``: (P, V) bool — True where the path from start p tests
+    flat bin v.  P = hash_w * (hash_h + 1) * (sz_hi - sz_lo), ordered
+    (sx, sy, sz) row-major.  Replicates the scan implementation exactly:
+    float stepping, truncation toward zero, the start-flat skip (including
+    aliased flats), and masking of out-of-allocation flat indices.
+    """
+    cfg = config
+    V = cfg.hash_volume
+    f32 = jnp.float32
+    SX, SY = cfg.hash_width, cfg.hash_height + 1
+    SZ = tables.sz_hi - tables.sz_lo
+
+    sx = jnp.arange(SX, dtype=jnp.int32)[:, None, None]
+    sy = jnp.arange(SY, dtype=jnp.int32)[None, :, None]
+    sz = jnp.arange(tables.sz_lo, tables.sz_hi, dtype=jnp.int32)[None, None, :]
+    sx, sy, sz = (jnp.broadcast_to(a, (SX, SY, SZ)).reshape(-1)
+                  for a in (sx, sy, sz))
+
+    lbx, lby, lbz = light_bin
+    fx, fy, fz = sx.astype(f32), sy.astype(f32), sz.astype(f32)
+    dx = jnp.asarray(lbx, f32) - fx
+    dy = jnp.asarray(lby, f32) - fy
+    dz = jnp.asarray(lbz, f32) - fz
+    largest = c_max(c_max(jnp.abs(dx), jnp.abs(dy)), jnp.abs(dz))
+    stx, sty, stz = dx / largest, dy / largest, dz / largest
+    n_steps = largest.astype(jnp.int32)
+    start_flat = (sx * cfg.hash_height + sy) * cfg.hash_length + sz
+
+    P = sx.shape[0]
+    member0 = jnp.zeros((P, V), bool)
+
+    def body(carry, t):
+        tx, ty, tz, member = carry
+        phase, axx, axy, axz = _phase_axes(t)
+        cx = tx + jnp.where(axx, stx, 0.0)
+        cy = ty + jnp.where(axy, sty, 0.0)
+        cz = tz + jnp.where(axz, stz, 0.0)
+        advance = phase == 6
+        tx = jnp.where(advance, cx, tx)
+        ty = jnp.where(advance, cy, ty)
+        tz = jnp.where(advance, cz, tz)
+
+        active = t < 7 * n_steps
+        bx = cx.astype(jnp.int32)
+        by = cy.astype(jnp.int32)
+        bz = cz.astype(jnp.int32)
+        flat = (bx * cfg.hash_height + by) * cfg.hash_length + bz
+        ok = active & (flat >= 0) & (flat < V) & (flat != start_flat)
+        member = member.at[jnp.arange(P), jnp.where(ok, flat, 0)].max(ok)
+        return (tx, ty, tz, member), None
+
+    (_, _, _, member), _ = jax.lax.scan(
+        body, (fx, fy, fz, member0),
+        jnp.arange(7 * tables.max_steps, dtype=jnp.int32))
+    return member
+
+
+class Candidates(NamedTuple):
+    """Compacted live occluder-slot list (static length M)."""
+
+    valid: jax.Array      # (M,) bool
+    ent: jax.Array        # (M,) int32 entity index
+    bin: jax.Array        # (M,) int32 flat bin id
+    pmin: jax.Array       # (M, 3) float32 box min corner
+    pmax: jax.Array       # (M, 3) float32 box max corner
+    overflow: jax.Array   # () bool — True if capacity was exceeded
+
+
+def build_candidates(pos, ext, bins_ent, counts, member,
+                     config: RenderConfig, tables: ShadowTables) -> Candidates:
+    """Flatten live (bin, slot) entries, prune bins no path tests, compact."""
+    cfg = config
+    V = cfg.hash_volume
+    cap = cfg.bin_capacity
+    M = tables.max_candidates
+
+    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    live = slot < counts[:, None]                       # (V, cap)
+    tested_any = member.any(axis=0)                     # (V,)
+    keep = (live & tested_any[:, None]).reshape(-1)     # (V*cap,)
+
+    n_keep = keep.sum()
+    overflow = n_keep > M
+    # Stable compaction: order by ~keep keeps kept entries first, in
+    # (bin, slot) order.
+    order = jnp.argsort(~keep, stable=True)[:M]
+    valid = keep[order]
+    flat_idx = order
+    bin_id = (flat_idx // cap).astype(jnp.int32)
+    ent = jnp.where(valid, bins_ent.reshape(-1)[flat_idx], 0)
+    p = pos[ent].astype(jnp.float32)
+    q = (pos[ent] + ext[ent]).astype(jnp.float32)
+    return Candidates(valid=valid, ent=ent, bin=bin_id, pmin=p, pmax=q,
+                      overflow=overflow)
+
+
+def trace_light_fast(start_index, bitmap_words, start_ent, origin, inv_dir,
+                     cands: Candidates, config: RenderConfig) -> jax.Array:
+    """OR-scan over candidates; True where the light is reachable.
+
+    Args:
+      start_index: unused here (bitmap already gathered); kept for clarity.
+      bitmap_words: (H, W, n_words) uint32 per-pixel membership bitmap.
+      start_ent, origin, inv_dir: as in ops.shadow.trace_light.
+    """
+    cfg = config
+    ox, oy, oz = origin
+    ivx, ivy, ivz = inv_dir
+
+    def body(occluded, cand):
+        valid, ent, bin_id, pmin, pmax = cand
+        word = bin_id // 32
+        bit = bin_id % 32
+        w = jax.lax.dynamic_index_in_dim(bitmap_words, word, axis=2,
+                                         keepdims=False)
+        member = ((w >> bit.astype(jnp.uint32)) & 1).astype(bool)
+        consider = valid & member & (ent != start_ent)
+
+        x1 = (pmin[0] - ox) * ivx
+        x2 = (pmax[0] - ox) * ivx
+        lo = c_min(x1, x2)
+        hi = c_max(x1, x2)
+        y1 = (pmin[1] - oy) * ivy
+        y2 = (pmax[1] - oy) * ivy
+        lo = c_max(lo, c_min(y1, y2))
+        hi = c_min(hi, c_max(y1, y2))
+        z1 = (pmin[2] - oz) * ivz
+        z2 = (pmax[2] - oz) * ivz
+        lo = c_max(lo, c_min(z1, z2))
+        hi = c_min(hi, c_max(z1, z2))
+        hit = hi >= lo
+        return occluded | (consider & hit), None
+
+    occ0 = jnp.zeros(start_ent.shape, bool)
+    occluded, _ = jax.lax.scan(
+        body, occ0,
+        (cands.valid, cands.ent, cands.bin, cands.pmin, cands.pmax))
+    return ~occluded
+
+
+def pixel_bitmap(member, start_sx, start_sy, start_sz,
+                 config: RenderConfig, tables: ShadowTables) -> jax.Array:
+    """Gather each pixel's membership row, packed to uint32 words.
+
+    start_s{x,y,z}: (H, W) int32 start-bin coords (sz may be negative).
+    Out-of-table starts clamp — callers should size the table to content
+    (default_tables) so this never binds.
+    """
+    cfg = config
+    V = cfg.hash_volume
+    SY = cfg.hash_height + 1
+    SZ = tables.sz_hi - tables.sz_lo
+    n_words = -(-V // 32)
+
+    # Pack member rows into u32 words once (P x n_words).
+    P = member.shape[0]
+    pad = n_words * 32 - V
+    bits = jnp.pad(member, ((0, 0), (0, pad))).reshape(P, n_words, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None]
+    words = (bits.astype(jnp.uint32) * weights).sum(axis=2, dtype=jnp.uint32)
+
+    sx = jnp.clip(start_sx, 0, cfg.hash_width - 1)
+    sy = jnp.clip(start_sy, 0, SY - 1)
+    sz = jnp.clip(start_sz - tables.sz_lo, 0, SZ - 1)
+    idx = (sx * SY + sy) * SZ + sz
+    return words[idx]                                   # (H, W, n_words)

@@ -1,0 +1,254 @@
+"""Pallas TPU kernel for primary visibility.
+
+Design (see SURVEY.md §7 stage 6): the jnp tracer's (bin_z, slot) candidate
+scan is restructured so the kernel touches **no gathers and no scalar
+loads** — everything is dense vector work on VMEM-resident tables:
+
+* Candidate fields are pre-expanded in XLA from the (V, C) bin table to
+  ``[hash_height, C*hash_length, W_pad]`` lane-aligned arrays (the bin_x of a
+  pixel is ``lane // bin_size``, so a ``jnp.repeat`` along lanes bakes the
+  per-column candidate into each lane).  Seven derived fields cover the hit
+  test and depth key; per-block slices are ~1 MB and stream HBM->VMEM
+  through the grid.
+* The per-texel sprite-depth lookup — the one true gather in the reference
+  inner loop (alternative.cpp:336-341) — becomes arithmetic: sprites whose
+  depth map is the ramp ``max(0, d0 - slope*row)`` (the shipped tile is
+  (19, 1); constant maps are (c, 0)) carry (d0, slope) as two more expanded
+  fields.  Non-ramp atlases fall back to the jnp tracer.
+* Candidate order collapses into the depth key: ``key = depth*64 + (63 -
+  candidate_index)`` makes the sequential strictly-greater scan equal to a
+  max-reduction (first-wins ties preserved), and the winning candidate is
+  recovered from the low bits — no argmax bookkeeping.
+* The early-exit heuristic (quirk Q5) is evaluated per bin from per-bin key
+  maxima with an 8-step masked scan — identical culling, no serial breaks.
+
+The kernel emits the per-pixel winning key; a jnp epilogue decodes the
+winner entity and materialises the G-buffer (ops/trace.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from .trace import GBufferArrays, materialize_gbuffer
+
+# Sentinel below any real key (real keys are >= -2^29 for sane scenes).
+KEY_MIN = -(2 ** 30)
+
+
+def ramp_depth_params(depth: np.ndarray):
+    """Fit per-sprite (d0, slope) with depth[r, c] == max(0, d0 - slope*r).
+
+    Returns (d0, slope) int32 arrays of shape (S,) or None when any sprite's
+    depth map is not such a ramp (the Pallas path then falls back to jnp).
+    """
+    s, h, _ = depth.shape
+    d0 = depth[:, 0, 0].astype(np.int64)
+    if h > 1:
+        slope = (depth[:, 0, 0] - depth[:, 1, 0]).astype(np.int64)
+    else:
+        slope = np.zeros(s, np.int64)
+    rows = np.arange(h, dtype=np.int64)[None, :, None]
+    expect = np.maximum(0, d0[:, None, None] - slope[:, None, None] * rows)
+    if not bool((expect == depth.astype(np.int64)).all()):
+        return None
+    return d0.astype(np.int32), slope.astype(np.int32)
+
+
+def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
+                   config: RenderConfig, w_pad: int):
+    """Build lane-expanded candidate field tables.
+
+    Returns a stacked array ``[n_fields, HH, C*HL, w_pad]`` int32 with field
+    order: valid, f0 (posx), f1 (posx+ex), f2 (py+pz), f3 (py+ey+pz+ez),
+    f4 (py-pz), f5 (ey), f6 (d0), f7 (slope), ent.
+    """
+    cfg = config
+    HW, HH, HL = cfg.hash_width, cfg.hash_height, cfg.hash_length
+    cap = cfg.bin_capacity
+    NC = HL * cap                     # candidates per pixel column
+
+    # (HH, HL, cap, HW): candidate entity for (biny, binz, slot, binx).
+    flat = ((jnp.arange(HW)[None, :] * HH + jnp.arange(HH)[:, None])
+            * HL)                     # (HH, HW) base
+    flat = flat[:, None, :] + jnp.arange(HL)[None, :, None]   # (HH, HL, HW)
+    ent = bins_ent[flat]                                      # (HH, HL, HW, cap)
+    cnt = counts[flat]                                        # (HH, HL, HW)
+    valid = jnp.arange(cap)[None, None, None, :] < cnt[..., None]
+
+    ent = jnp.moveaxis(ent, 3, 2)                             # (HH, HL, cap, HW)
+    valid = jnp.moveaxis(valid, 3, 2)
+
+    ent_s = jnp.where(valid, ent, 0)
+    p = pos[ent_s]                                            # (..., 3)
+    e = ext[ent_s]
+    sid = sprite_id[ent_s]
+    fields = [
+        valid.astype(jnp.int32),
+        p[..., 0],
+        p[..., 0] + e[..., 0],
+        p[..., 1] + p[..., 2],
+        p[..., 1] + e[..., 1] + p[..., 2] + e[..., 2],
+        p[..., 1] - p[..., 2],
+        e[..., 1],
+        d0[sid],
+        slope[sid],
+        ent_s,
+    ]
+    stacked = jnp.stack(fields)                               # (F, HH, HL, cap, HW)
+    F = stacked.shape[0]
+    stacked = stacked.reshape(F, HH, NC, HW)
+    # Expand bin_x -> lanes and pad to w_pad.  Padding lanes get valid=0.
+    lanes = jnp.repeat(stacked, cfg.bin_size, axis=3)
+    lanes = lanes[..., :cfg.view_width]
+    pad = w_pad - cfg.view_width
+    lanes = jnp.pad(lanes, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    return lanes
+
+
+def _trace_kernel(tab_ref, out_ref, mkey_scr, empty_scr, *, config,
+                  rows_per_block: int, n_cands: int, nc2: int, w_pad: int):
+    cfg = config
+    cap = cfg.bin_capacity
+    HL = cfg.hash_length
+    H = cfg.view_height
+    R = rows_per_block
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 1)
+    cand_i = jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 0)
+
+    valid = tab_ref[0, 0]
+    f0 = tab_ref[1, 0]
+    f1 = tab_ref[2, 0]
+    f2 = tab_ref[3, 0]
+    f3 = tab_ref[4, 0]
+    f4 = tab_ref[5, 0]
+    f5 = tab_ref[6, 0]
+    f6 = tab_ref[7, 0]
+    f7 = tab_ref[8, 0]
+
+    # Per-bin empty masks (jr-independent): row b holds bin b's emptiness.
+    for b in range(HL):
+        any_valid = jnp.max(valid[b * cap:(b + 1) * cap], axis=0,
+                            keepdims=True)
+        empty_scr[b:b + 1] = 1 - any_valid
+
+    block = pl.program_id(0)
+    j0 = block * R
+
+    # Phase 1: per-row candidate keys -> per-(bin, jr) maxima.
+    for jr in range(R):
+        world_j = H - (j0 + jr)
+        row = f3 - world_j
+        hit = ((valid > 0)
+               & (lane_i >= f0) & (lane_i < f1)
+               & (world_j > f2) & (world_j <= f3))
+        sdep = jnp.maximum(0, f6 - f7 * row)
+        depth = f4 + jnp.minimum(0, f5 - row) - sdep
+        key = jnp.where(hit, depth * nc2 + (nc2 - 1 - cand_i),
+                        jnp.int32(KEY_MIN))
+        for b in range(HL):
+            mkey_scr[b * R + jr:b * R + jr + 1] = jnp.max(
+                key[b * cap:(b + 1) * cap], axis=0, keepdims=True)
+
+    # Phase 2: early-exit scan over bins (quirk Q5), all jr rows at once.
+    total = jnp.full((R, w_pad), jnp.int32(KEY_MIN), jnp.int32)
+    counter = jnp.zeros((R, w_pad), jnp.int32)
+    for b in range(HL):
+        m = mkey_scr[b * R:(b + 1) * R]
+        if cfg.early_exit:
+            empty = empty_scr[b:b + 1] > 0
+            use = counter < 2
+            has = use & (m > total)
+            total = jnp.where(has, m, total)
+            counter = jnp.where(
+                use, jnp.where(empty, 0, counter + has.astype(jnp.int32)),
+                counter)
+        else:
+            total = jnp.maximum(total, m)
+
+    out_ref[:] = total
+
+
+def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
+                      rows_per_block: int = 8, w_pad: int | None = None):
+    """Run the kernel; returns per-pixel winning keys (H, w_pad) int32."""
+    cfg = config
+    H = cfg.view_height
+    if w_pad is None:
+        w_pad = -(-cfg.view_width // 128) * 128
+    n_cands = cfg.hash_length * cfg.bin_capacity
+    nc2 = 1
+    while nc2 < n_cands:
+        nc2 *= 2
+    R = rows_per_block
+    assert H % R == 0, "view_height must divide by rows_per_block"
+    bs = cfg.bin_size
+    assert bs % R == 0, "rows_per_block must divide bin_size"
+    grid = (H // R,)
+
+    kernel = functools.partial(_trace_kernel, config=cfg,
+                               rows_per_block=R, n_cands=n_cands, nc2=nc2,
+                               w_pad=w_pad)
+    # Interpreter mode on non-TPU backends (CPU tests validate the kernel
+    # logic; compiled Mosaic runs on real TPUs).
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[pl.BlockSpec(
+            (tables.shape[0], 1, n_cands, w_pad),
+            lambda i: (0, (i * R) // bs, 0, 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R, w_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, w_pad), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((cfg.hash_length * R, w_pad), jnp.int32),
+            pltpu.VMEM((cfg.hash_length, w_pad), jnp.int32),
+        ],
+    )(tables)
+
+
+def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
+                        atlas_normal, palette, bins_ent, counts,
+                        config: RenderConfig,
+                        depth_params) -> GBufferArrays:
+    """Drop-in replacement for ops.trace.trace_pixels on ramp-depth atlases.
+
+    ``depth_params``: (d0, slope) arrays from ``ramp_depth_params``.
+    """
+    cfg = config
+    d0, slope = depth_params
+    w_pad = -(-cfg.view_width // 128) * 128
+    tables = _expand_tables(pos, ext, sprite_id, jnp.asarray(d0),
+                            jnp.asarray(slope), bins_ent, counts, cfg, w_pad)
+    keys = trace_keys_pallas(tables, cfg)
+    keys = keys[:, :cfg.view_width]
+
+    # Decode: low bits carry (nc2-1 - candidate); candidate = binz*cap + slot.
+    n_cands = cfg.hash_length * cfg.bin_capacity
+    nc2 = 1
+    while nc2 < n_cands:
+        nc2 *= 2
+    hit = keys > KEY_MIN // 2
+    cand = (nc2 - 1) - (keys & (nc2 - 1))
+    j = jnp.arange(cfg.view_height, dtype=jnp.int32)[:, None]
+    i = jnp.arange(cfg.view_width, dtype=jnp.int32)[None, :]
+    biny = j // cfg.bin_size
+    binx = i // cfg.bin_size
+    binz = cand // cfg.bin_capacity
+    slot = cand % cfg.bin_capacity
+    flat = (binx * cfg.hash_height + biny) * cfg.hash_length + binz
+    ent = bins_ent[jnp.where(hit, flat, 0), jnp.where(hit, slot, 0)]
+    winner = jnp.where(hit, ent, -1)
+    return materialize_gbuffer(winner, pos, ext, sprite_id, atlas_color,
+                               atlas_depth, atlas_normal, palette, cfg)

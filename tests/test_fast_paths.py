@@ -1,0 +1,106 @@
+"""Parity of the optimised implementations against the direct transcriptions:
+the table-driven shadow pass and the Pallas primary tracer (interpret mode on
+CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pixel_art_raytracer_tpu.config import RenderConfig, DEFAULT_CONFIG
+from pixel_art_raytracer_tpu.scene import demo_world, default_light, Light, SceneBuilder
+from pixel_art_raytracer_tpu.models.deferred import DeferredRenderer, DeviceScene
+from pixel_art_raytracer_tpu.ops import binning
+from pixel_art_raytracer_tpu.ops.trace_pallas import ramp_depth_params
+
+
+def setup(scene, **kw):
+    r = DeferredRenderer(DEFAULT_CONFIG, **kw)
+    r.spans = r.spans_for(scene)
+    ds = DeviceScene.from_scene(scene)
+    be, cnt = jax.jit(r.build_bins)(ds)
+    return r, ds, be, cnt
+
+
+class TestFastShadow:
+    @pytest.mark.parametrize("light", [
+        Light(480, 160, 80), Light(100, 100, 100), Light(0, 300, 10),
+        Light(250, 50, 150),
+    ])
+    def test_matches_scan(self, light):
+        scene = demo_world(10)
+        rs, ds, be, cnt = setup(scene, shadow_impl="scan")
+        rf, *_ = setup(scene, shadow_impl="fast")
+        gbuf = jax.jit(rs.trace)(ds, be, cnt)
+        la = jnp.asarray(light.as_array())
+        f_scan = np.asarray(jax.jit(rs.shade)(ds, gbuf, be, cnt, la))
+        f_fast = np.asarray(jax.jit(rf.shade)(ds, gbuf, be, cnt, la))
+        np.testing.assert_array_equal(f_fast, f_scan)
+
+    def test_no_candidate_overflow_on_demo(self):
+        from pixel_art_raytracer_tpu.ops import shadow_fast
+
+        scene = demo_world(10)
+        _, ds, be, cnt = setup(scene)
+        t = shadow_fast.default_tables(DEFAULT_CONFIG)
+        member = shadow_fast.dda_membership(
+            (jnp.int32(12), jnp.int32(2), jnp.int32(2)), DEFAULT_CONFIG, t)
+        cands = shadow_fast.build_candidates(ds.pos, ds.ext, be, cnt, member,
+                                             DEFAULT_CONFIG, t)
+        assert not bool(cands.overflow)
+
+
+class TestPallasTrace:
+    def test_ramp_fit(self):
+        from pixel_art_raytracer_tpu.assets import make_tile_floor
+
+        params = ramp_depth_params(np.asarray(make_tile_floor().depth))
+        assert params is not None
+        d0, slope = params
+        assert d0[0] == 19 and slope[0] == 1
+
+    def test_ramp_fit_rejects_arbitrary(self):
+        depth = np.zeros((1, 40, 20), np.int32)
+        depth[0, 5, 7] = 3
+        assert ramp_depth_params(depth) is None
+
+    def test_matches_jnp_tracer(self):
+        scene = demo_world(10)
+        rj, ds, be, cnt = setup(scene, trace_impl="jnp")
+        rp, *_ = setup(scene, trace_impl="pallas")
+        gb_j = jax.jit(rj.trace)(ds, be, cnt)
+        gb_p = jax.jit(rp.trace)(ds, be, cnt)
+        for f in gb_j._fields:
+            np.testing.assert_array_equal(np.asarray(getattr(gb_p, f)),
+                                          np.asarray(getattr(gb_j, f)),
+                                          err_msg=f)
+
+    def test_early_exit_respected(self):
+        # The early-exit scene from test_trace must also cull under pallas.
+        from tests.test_trace import TestEarlyExit
+
+        scene = TestEarlyExit().build_scene()
+        # constant-depth sprites (150, 61) are ramps with slope 0 -> pallas ok
+        rj, ds, be, cnt = setup(scene, trace_impl="jnp")
+        rp, *_ = setup(scene, trace_impl="pallas")
+        assert ds.depth_d0 is not None
+        gb_j = jax.jit(rj.trace)(ds, be, cnt)
+        gb_p = jax.jit(rp.trace)(ds, be, cnt)
+        np.testing.assert_array_equal(np.asarray(gb_p.entity_index),
+                                      np.asarray(gb_j.entity_index))
+        assert (np.asarray(gb_p.entity_index)[300, 80:100] == 1).all()
+
+
+class TestFullFastPipeline:
+    def test_end_to_end_matches_oracle(self):
+        from pixel_art_raytracer_tpu import oracle
+
+        scene = demo_world(10)
+        light = default_light()
+        r = DeferredRenderer(DEFAULT_CONFIG, shadow_impl="fast",
+                             trace_impl="auto")
+        r.spans = r.spans_for(scene)
+        ds = DeviceScene.from_scene(scene)
+        frame = np.asarray(r.render(ds, light.as_array()))
+        img_p, _ = oracle.render_frame(scene, light)
+        np.testing.assert_array_equal(frame, img_p)
