@@ -46,23 +46,31 @@ def main() -> None:
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 
+    from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
+
     scene = graybox_world(config)
     light = default_light(config)
-    renderer = DeferredRenderer(config)
+    renderer = DeferredRenderer(config, shadow_impl="fast",
+                                trace_impl="auto")
     renderer.spans = renderer.spans_for(scene)
-    anim = AnimationRenderer(renderer, config)
+    cache = StaticBins(scene.pos, scene.ext, 1, config, renderer.spans)
+    anim = AnimationRenderer(renderer, config, static_bins=cache)
     dscene = DeviceScene.from_scene(scene, config)
 
     players, lights = anim.light_sweep_states(
         n_frames, scene.pos[0], center=(light.x, light.y, light.z), radius=40)
 
     fn = anim._render_states_jit
-    # Warmup (compile) + timed steady-state batches.
-    frames = jax.block_until_ready(fn(dscene, players, lights))
+    # Warmup (compile) + timed steady-state batches.  Timing materialises a
+    # checksum to host: block_until_ready alone can return early through
+    # remote-TPU tunnels.
+    frames = fn(dscene, players, lights)
+    _ = np.asarray(frames[-1])
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        frames = jax.block_until_ready(fn(dscene, players, lights))
+        frames = fn(dscene, players, lights)
+        _ = np.asarray(frames[-1])
         best = min(best, time.perf_counter() - t0)
 
     rays = 2 * config.view_width * config.view_height * n_frames

@@ -73,7 +73,8 @@ class DeferredRenderer:
     def __init__(self, config: RenderConfig = DEFAULT_CONFIG,
                  spans: tuple[int, int, int] | None = None,
                  shadow_max_steps: int = 16, shadow_impl: str = "scan",
-                 shadow_tables=None, trace_impl: str = "auto"):
+                 shadow_tables=None, trace_impl: str = "auto",
+                 style: str = "reference"):
         self.config = config
         # Static per-entity bin-span bound; (2, 3, 2) covers any scene whose
         # extents stay within one bin (the reference world is all 20-cubes).
@@ -84,6 +85,9 @@ class DeferredRenderer:
         # 'pallas': gather-free TPU kernel (requires a ramp-depth atlas);
         # 'jnp': candidate-scan tracer; 'auto': pallas when the scene allows.
         self.trace_impl = trace_impl
+        # 'reference': continuous brightness scale (parity); 'dithered':
+        # ordered-dither re-quantisation onto the palette (config-4 style).
+        self.style = style
 
     def spans_for(self, scene: Scene) -> tuple[int, int, int]:
         return binning.entity_span_bound(scene.ext.max(axis=0), self.config)
@@ -117,7 +121,8 @@ class DeferredRenderer:
               counts, light: jax.Array) -> jax.Array:
         return shade_ops.shade(dscene.pos, dscene.ext, gbuf, bins_ent, counts,
                                light, self.config, self.shadow_max_steps,
-                               self.shadow_impl, self.shadow_tables)
+                               self.shadow_impl, self.shadow_tables,
+                               self.style, dscene.palette[:, :3])
 
     # -- whole-frame entry points ------------------------------------------
 

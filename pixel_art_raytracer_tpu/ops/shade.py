@@ -21,7 +21,8 @@ from .trace import GBufferArrays
 def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
           bins_ent: jax.Array, counts: jax.Array, light: jax.Array,
           config: RenderConfig, max_steps: int = 16,
-          shadow_impl: str = "scan", shadow_tables=None) -> jax.Array:
+          shadow_impl: str = "scan", shadow_tables=None,
+          style: str = "reference", palette_rgb=None) -> jax.Array:
     """Light the G-buffer; returns the (H, W, 3) uint8 frame.
 
     ``light`` is an (3,) int32 array (x, y, z) — traced, so animated lights
@@ -81,5 +82,68 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
     brightness = c_min(f32(1.0), diffuse + f32(cfg.ambient))
     factor = jnp.where(lit, brightness, f32(cfg.ambient))
 
+    if style == "dithered":
+        from .dither import shade_dithered
+
+        return shade_dithered(gbuf.color, factor, palette_rgb)
+    rgb = gbuf.color[..., :3].astype(f32) * factor[..., None]
+    return rgb.astype(jnp.uint8)
+
+
+def shade_directional(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
+                      bins_ent: jax.Array, counts: jax.Array,
+                      direction, config: RenderConfig,
+                      max_steps: int = 32, style: str = "reference",
+                      palette_rgb=None, ambient: float | None = None
+                      ) -> jax.Array:
+    """Directional-light shading (framework extension; the reference has only
+    the single point light).
+
+    ``direction`` is the (3,) float32 direction *toward* the light.  Shadow
+    rays march the same 7-phase bin DDA toward a virtual light far along the
+    direction, so occlusion uses the identical traversal machinery.
+    """
+    cfg = config
+    H, W = cfg.view_height, cfg.view_width
+    f32 = jnp.float32
+    bs = cfg.bin_size
+
+    wx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (H, W))
+    wy, wz = gbuf.y, gbuf.z
+
+    d = jnp.asarray(direction, f32)
+    length = jnp.abs(d[0]) + jnp.abs(d[1]) + jnp.abs(d[2])
+    tlx, tly, tlz = d[0] / length, d[1] / length, d[2] / length
+    tlx, tly, tlz = jax.lax.optimization_barrier((tlx, tly, tlz))
+    inv = (f32(1.0) / tlx, f32(1.0) / tly, f32(1.0) / tlz)
+
+    rbx = c_div(wx, bs)
+    rby = c_div(jnp.int32(cfg.view_height) - wy - wz, bs)
+    rbz = c_div(wz, bs)
+
+    # Virtual far light: far enough that every path exits the grid.
+    span = max(cfg.view_width, cfg.view_height, cfg.view_length) * 2
+    fx = wx + (tlx * span).astype(jnp.int32)
+    fy = wy + (tly * span).astype(jnp.int32)
+    fz = wz + (tlz * span).astype(jnp.int32)
+    lbx = c_div(fx, bs)
+    lby = c_div(jnp.int32(cfg.view_height) - fy - fz, bs)
+    lbz = c_div(fz, bs)
+
+    origin = (wx.astype(f32), wy.astype(f32), wz.astype(f32))
+    lit = trace_light(pos, ext, bins_ent, counts, (rbx, rby, rbz),
+                      (lbx, lby, lbz), gbuf.entity_index, origin, inv, cfg,
+                      max_steps)
+
+    n = gbuf.normal
+    dot = n[..., 0] * tlx + n[..., 1] * tly + n[..., 2] * tlz
+    amb = f32(cfg.ambient if ambient is None else ambient)
+    brightness = c_min(f32(1.0), c_max(f32(0.0), dot) + amb)
+    factor = jnp.where(lit, brightness, amb)
+
+    if style == "dithered":
+        from .dither import shade_dithered
+
+        return shade_dithered(gbuf.color, factor, palette_rgb)
     rgb = gbuf.color[..., :3].astype(f32) * factor[..., None]
     return rgb.astype(jnp.uint8)

@@ -101,10 +101,9 @@ def dda_membership(light_bin, config: RenderConfig, tables: ShadowTables):
     start_flat = (sx * cfg.hash_height + sy) * cfg.hash_length + sz
 
     P = sx.shape[0]
-    member0 = jnp.zeros((P, V), bool)
 
     def body(carry, t):
-        tx, ty, tz, member = carry
+        tx, ty, tz = carry
         phase, axx, axy, axz = _phase_axes(t)
         cx = tx + jnp.where(axx, stx, 0.0)
         cy = ty + jnp.where(axy, sty, 0.0)
@@ -120,12 +119,18 @@ def dda_membership(light_bin, config: RenderConfig, tables: ShadowTables):
         bz = cz.astype(jnp.int32)
         flat = (bx * cfg.hash_height + by) * cfg.hash_length + bz
         ok = active & (flat >= 0) & (flat < V) & (flat != start_flat)
-        member = member.at[jnp.arange(P), jnp.where(ok, flat, 0)].max(ok)
-        return (tx, ty, tz, member), None
+        return (tx, ty, tz), jnp.where(ok, flat, V)
 
-    (_, _, _, member), _ = jax.lax.scan(
-        body, (fx, fy, fz, member0),
+    _, flats = jax.lax.scan(
+        body, (fx, fy, fz),
         jnp.arange(7 * tables.max_steps, dtype=jnp.int32))
+    # flats: (steps, P) tested flat ids (V = none).  Dense one-hot OR beats a
+    # scatter on TPU at these sizes.
+    bins = jnp.arange(V, dtype=jnp.int32)[None, :]
+    member = jnp.zeros((P, V), bool)
+    for t0 in range(0, flats.shape[0], 14):
+        chunk = flats[t0:t0 + 14]                  # (<=14, P)
+        member = member | (chunk[:, :, None] == bins[None]).any(axis=0)
     return member
 
 
