@@ -50,7 +50,7 @@ def main() -> None:
 
     scene = graybox_world(config)
     light = default_light(config)
-    renderer = DeferredRenderer(config, shadow_impl="fast",
+    renderer = DeferredRenderer(config, shadow_impl="pallas",
                                 trace_impl="auto")
     renderer.spans = renderer.spans_for(scene)
     cache = StaticBins(scene.pos, scene.ext, 1, config, renderer.spans)
@@ -61,16 +61,19 @@ def main() -> None:
         n_frames, scene.pos[0], center=(light.x, light.y, light.z), radius=40)
 
     fn = anim._render_states_jit
+    checksum = jax.jit(lambda f: f.sum(axis=(1, 2, 3), dtype=jnp.int32))
     # Warmup (compile) + timed steady-state batches.  Timing materialises a
-    # checksum to host: block_until_ready alone can return early through
-    # remote-TPU tunnels.
+    # per-frame checksum to host: that forces the rendered frames to exist on
+    # device (block_until_ready alone can return early through remote-TPU
+    # tunnels) without timing the tunnel's bulk-transfer bandwidth, which is
+    # not part of rendering.
     frames = fn(dscene, players, lights)
-    _ = np.asarray(frames[-1])
+    _ = np.asarray(checksum(frames))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         frames = fn(dscene, players, lights)
-        _ = np.asarray(frames[-1])
+        _ = np.asarray(checksum(frames))
         best = min(best, time.perf_counter() - t0)
 
     rays = 2 * config.view_width * config.view_height * n_frames

@@ -86,6 +86,24 @@ def scale_color_u8(color, factor):
     return scaled.astype(xp.uint8)
 
 
+def normal_to_debug_color(nx, ny, nz):
+    """``Vector::operator Color`` (sprites.hpp:37-51): the reference's debug
+    visualisation of a normal as an RGB color.
+
+    Shifts components positive by the L1 length, renormalises by the shifted
+    sum, scales by 255 with C truncation.  Returns (r, g, b) uint8 arrays.
+    """
+    xp = _xp(nx, ny, nz)
+    length = xp.abs(nx) + xp.abs(ny) + xp.abs(nz)
+    px, py, pz = nx + length, ny + length, nz + length
+    total = px + py + pz
+    out = []
+    for comp in (px, py, pz):
+        val = (comp / total).astype(xp.float32) * xp.float32(255)
+        out.append(val.astype(xp.uint8))
+    return tuple(out)
+
+
 def l1_normalize(x, y, z):
     """L1 ("Manhattan") normalisation — ``Vector::normalize`` (sprites.hpp:28-35).
 

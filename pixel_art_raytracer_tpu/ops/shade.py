@@ -60,7 +60,7 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
     lbz = c_div(lz, bs)
 
     origin = (wx.astype(f32), wy.astype(f32), wz.astype(f32))
-    if shadow_impl == "fast":
+    if shadow_impl in ("fast", "pallas"):
         from . import shadow_fast
 
         tables = shadow_tables or shadow_fast.default_tables(
@@ -68,9 +68,32 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
         member = shadow_fast.dda_membership((lbx, lby, lbz), cfg, tables)
         cands = shadow_fast.build_candidates(pos, ext, bins_ent, counts,
                                              member, cfg, tables)
-        bitmap = shadow_fast.pixel_bitmap(member, rbx, rby, rbz, cfg, tables)
-        lit = shadow_fast.trace_light_fast(None, bitmap, gbuf.entity_index,
-                                           origin, inv, cands, cfg)
+        if shadow_impl == "pallas":
+            from . import shadow_pallas
+
+            w_pad = -(-W // 128) * 128
+            pad = w_pad - W
+
+            def padw(a):
+                return jnp.pad(a, ((0, 0), (0, pad)))
+
+            SZ = tables.sz_hi - tables.sz_lo
+            szidx = jnp.clip(rbz - tables.sz_lo, 0, SZ - 1)
+            # Background pixels (zero G-buffer y/z, quirk Q6) use the
+            # aliased background start row; wy+wz == world_j >= 1 for hits.
+            bg = ((wy + wz) == 0).astype(jnp.int32)
+            lit_pad = shadow_pallas.trace_light_pallas(
+                member, padw(szidx), padw(bg), padw(gbuf.entity_index),
+                padw(origin[1]), padw(origin[2]),
+                padw(inv[0]), padw(inv[1]), padw(inv[2]),
+                cands, cfg, tables)
+            lit = lit_pad[:, :W] > 0
+        else:
+            bitmap = shadow_fast.pixel_bitmap(member, rbx, rby, rbz, cfg,
+                                              tables)
+            lit = shadow_fast.trace_light_fast(None, bitmap,
+                                               gbuf.entity_index,
+                                               origin, inv, cands, cfg)
     else:
         lit = trace_light(pos, ext, bins_ent, counts, (rbx, rby, rbz),
                           (lbx, lby, lbz), gbuf.entity_index,

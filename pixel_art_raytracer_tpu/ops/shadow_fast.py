@@ -49,16 +49,18 @@ class ShadowTables(NamedTuple):
     sz_hi: int            # exclusive upper bound
     max_steps: int        # static DDA step bound
     max_candidates: int   # static candidate capacity
+    max_block_candidates: int = 1024  # per-row-block pruned list capacity
 
 
 def default_tables(config: RenderConfig, scene_ext=None, atlas=None,
-                   max_steps: int = 16,
-                   max_candidates: int = 1024) -> ShadowTables:
+                   max_steps: int = 16, max_candidates: int = 1024,
+                   max_block_candidates: int = 1024) -> ShadowTables:
     """Choose static table bounds.  With scene/atlas given, the z range is
     derived from actual content (wz = z0 + sprite depth)."""
     sz_lo, sz_hi = -2, config.hash_length + 2
     return ShadowTables(sz_lo=sz_lo, sz_hi=sz_hi, max_steps=max_steps,
-                        max_candidates=max_candidates)
+                        max_candidates=max_candidates,
+                        max_block_candidates=max_block_candidates)
 
 
 def _phase_axes(t):

@@ -105,6 +105,42 @@ class Session:
         self.frames.append(rec)
         return rec
 
+    # -- debug / observability --------------------------------------------
+
+    def debug_report(self) -> str:
+        """Debug-build state dump (alternative.cpp:790-813 equivalent):
+        player AABB corners plus the bin-occupancy slice through the
+        player's bin column."""
+        cfg = self.config
+        player = np.asarray(self.state.player_pos)
+        ext = np.asarray(self.dscene.ext[0])
+        scene_f = scene_with_player(self.dscene, self.state.player_pos)
+        _, counts = self.renderer.build_bins(scene_f)
+        counts = np.asarray(counts).reshape(cfg.hash_width, cfg.hash_height,
+                                            cfg.hash_length)
+        bx = min(max(int(player[0]) // cfg.bin_size, 0), cfg.hash_width - 1)
+        lines = [
+            f"<{player[0]}, {player[1]}, {player[2]}>",
+            f"<{player[0] + ext[0]}, {player[1] + ext[1]}, "
+            f"{player[2] + ext[2]}>",
+        ]
+        for j in range(cfg.hash_height):
+            lines.append(" ".join(str(counts[bx, j, k])
+                                  for k in range(cfg.hash_length)))
+        return "\n".join(lines)
+
+    def normal_view(self) -> np.ndarray:
+        """Debug normal visualisation using the reference's Vector->Color
+        cast (sprites.hpp:37-51)."""
+        from ..ops.cstyle import normal_to_debug_color
+
+        scene_f = scene_with_player(self.dscene, self.state.player_pos)
+        gbuf, _ = self.renderer.render_with_gbuffer(scene_f, self.state.light)
+        n = np.asarray(gbuf.normal)
+        with np.errstate(invalid="ignore"):
+            r, g, b = normal_to_debug_color(n[..., 0], n[..., 1], n[..., 2])
+        return np.stack([r, g, b], axis=-1)
+
     # -- writeback ---------------------------------------------------------
 
     def save_gif(self, path, delay_cs: int = 4) -> str:

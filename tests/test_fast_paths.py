@@ -36,6 +36,9 @@ class TestFastShadow:
         f_scan = np.asarray(jax.jit(rs.shade)(ds, gbuf, be, cnt, la))
         f_fast = np.asarray(jax.jit(rf.shade)(ds, gbuf, be, cnt, la))
         np.testing.assert_array_equal(f_fast, f_scan)
+        rk, *_ = setup(scene, shadow_impl="pallas")
+        f_kern = np.asarray(jax.jit(rk.shade)(ds, gbuf, be, cnt, la))
+        np.testing.assert_array_equal(f_kern, f_scan)
 
     def test_no_candidate_overflow_on_demo(self):
         from pixel_art_raytracer_tpu.ops import shadow_fast

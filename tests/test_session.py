@@ -54,3 +54,26 @@ class TestSession:
         s = self.make()
         rec = s.feed([], mouse=(5, 79))   # bottom-left: floor tile expected
         assert rec.mouse_pixel_y >= 0
+
+
+class TestDebugObservability:
+    def test_debug_report(self):
+        from pixel_art_raytracer_tpu.models.deferred import DeferredRenderer
+
+        r = DeferredRenderer(SMALL, shadow_max_steps=8)
+        s = Session(small_scene(), Light(60, 60, 20), SMALL, renderer=r)
+        report = s.debug_report()
+        lines = report.splitlines()
+        assert lines[0] == "<30, 20, 20>"
+        assert lines[1] == "<50, 40, 40>"
+        assert len(lines) == 2 + SMALL.hash_height
+
+    def test_normal_view(self):
+        from pixel_art_raytracer_tpu.models.deferred import DeferredRenderer
+
+        r = DeferredRenderer(SMALL, shadow_max_steps=8)
+        s = Session(small_scene(), Light(60, 60, 20), SMALL, renderer=r)
+        img = s.normal_view()
+        assert img.shape == (80, 80, 3)
+        # top faces (0,1,0): length 1, shifted (1,2,1)/4*255 -> (63,127,63)
+        assert (img.reshape(-1, 3) == (63, 127, 63)).all(-1).any()
