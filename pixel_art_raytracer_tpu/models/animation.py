@@ -128,6 +128,36 @@ class AnimationRenderer:
                                   (n_frames, 3))
         return (jnp.asarray(players), jnp.asarray(lights))
 
+    def render_long(self, dscene: DeviceScene, player_pos, lights,
+                    checkpoint_dir, chunk_size: int = 16):
+        """Long animation render with chunked checkpoint/resume.
+
+        Renders ``player_pos/lights`` (F, 3) in fixed-size chunks; completed
+        chunks persist to ``checkpoint_dir`` and are skipped on restart
+        (utils/checkpoint.py).  Returns all (F, H, W, 3) frames.
+        """
+        import numpy as np
+
+        from ..utils.checkpoint import render_with_checkpoints
+
+        F = player_pos.shape[0]
+        pad = (-F) % chunk_size
+        players_p = jnp.concatenate(
+            [jnp.asarray(player_pos),
+             jnp.broadcast_to(jnp.asarray(player_pos)[-1:], (pad, 3))])
+        lights_p = jnp.concatenate(
+            [jnp.asarray(lights),
+             jnp.broadcast_to(jnp.asarray(lights)[-1:], (pad, 3))])
+
+        def render_chunk(start, count):
+            p = players_p[start:start + chunk_size]
+            l = lights_p[start:start + chunk_size]
+            frames = self.render_states(dscene, p, l)
+            return np.asarray(frames)[:count]
+
+        return render_with_checkpoints(render_chunk, F, checkpoint_dir,
+                                       chunk_size)
+
     def render_script(self, dscene: DeviceScene, initial: WorldState,
                       script: list[list[str]]) -> tuple[jax.Array, WorldState]:
         """Apply a per-frame key-event script, render each resulting frame.

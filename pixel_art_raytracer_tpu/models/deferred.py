@@ -72,7 +72,7 @@ class DeferredRenderer:
 
     def __init__(self, config: RenderConfig = DEFAULT_CONFIG,
                  spans: tuple[int, int, int] | None = None,
-                 shadow_max_steps: int = 16, shadow_impl: str = "scan",
+                 shadow_max_steps: int = 16, shadow_impl: str = "fast",
                  shadow_tables=None, trace_impl: str = "auto",
                  style: str = "reference"):
         self.config = config

@@ -27,9 +27,26 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
 
     ``light`` is an (3,) int32 array (x, y, z) — traced, so animated lights
     don't retrigger compilation.  ``shadow_impl`` selects the per-pixel DDA
-    scan ('scan', the direct transcription) or the table-driven candidate
-    scan ('fast', ops/shadow_fast.py) — both produce identical frames.
+    scan ('scan', the direct transcription), the table-driven candidate scan
+    ('fast'), or the Pallas kernel ('pallas') — all pixel-identical.
     """
+    factor = lighting_factor(pos, ext, gbuf, bins_ent, counts, light, config,
+                             max_steps, shadow_impl, shadow_tables)
+    if style == "dithered":
+        from .dither import shade_dithered
+
+        return shade_dithered(gbuf.color, factor, palette_rgb)
+    rgb = gbuf.color[..., :3].astype(jnp.float32) * factor[..., None]
+    return rgb.astype(jnp.uint8)
+
+
+def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
+                    config: RenderConfig, max_steps: int = 16,
+                    shadow_impl: str = "scan", shadow_tables=None
+                    ) -> jax.Array:
+    """Per-pixel brightness factor: ambient where the light is occluded,
+    min(1, Lambert + ambient) where reachable.  The scalar core of the
+    lighting loop (alternative.cpp:702-760)."""
     cfg = config
     H, W = cfg.view_height, cfg.view_width
     f32 = jnp.float32
@@ -103,13 +120,32 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
     dot = n[..., 0] * tlx + n[..., 1] * tly + n[..., 2] * tlz
     diffuse = c_max(f32(0.0), dot)                    # std::max<float>(0, ·)
     brightness = c_min(f32(1.0), diffuse + f32(cfg.ambient))
-    factor = jnp.where(lit, brightness, f32(cfg.ambient))
+    return jnp.where(lit, brightness, f32(cfg.ambient))
 
-    if style == "dithered":
-        from .dither import shade_dithered
 
-        return shade_dithered(gbuf.color, factor, palette_rgb)
-    rgb = gbuf.color[..., :3].astype(f32) * factor[..., None]
+def shade_multi(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
+               bins_ent: jax.Array, counts: jax.Array, lights: jax.Array,
+               config: RenderConfig, max_steps: int = 16,
+               shadow_impl: str = "fast", shadow_tables=None) -> jax.Array:
+    """Additive multi-light shading (framework extension).
+
+    The reference carries a light *vector* but shades with ``lights[0]`` only
+    (alternative.cpp:624-626, 711-758).  This extension accumulates each
+    light's (shadowed) diffuse contribution over a shared ambient base and
+    saturates.  ``lights``: (L, 3) int32.
+    """
+    cfg = config
+    f32 = jnp.float32
+
+    def one(light):
+        return lighting_factor(pos, ext, gbuf, bins_ent, counts, light, cfg,
+                               max_steps, shadow_impl, shadow_tables)
+
+    factors = jax.lax.map(one, lights)                 # (L, H, W)
+    ambient = f32(cfg.ambient)
+    diffuse = jnp.maximum(factors - ambient, 0.0).sum(axis=0)
+    total = jnp.minimum(1.0, ambient + diffuse)
+    rgb = gbuf.color[..., :3].astype(f32) * total[..., None]
     return rgb.astype(jnp.uint8)
 
 

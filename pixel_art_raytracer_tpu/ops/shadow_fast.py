@@ -53,7 +53,7 @@ class ShadowTables(NamedTuple):
 
 
 def default_tables(config: RenderConfig, scene_ext=None, atlas=None,
-                   max_steps: int = 16, max_candidates: int = 1024,
+                   max_steps: int = 16, max_candidates: int = 2048,
                    max_block_candidates: int = 1024) -> ShadowTables:
     """Choose static table bounds.  With scene/atlas given, the z range is
     derived from actual content (wz = z0 + sprite depth)."""

@@ -112,13 +112,17 @@ def lane_member_tables(member_words, config: RenderConfig,
     return t_row, t_bg
 
 
-def _shadow_kernel(lists_ref, counts_ref, meta_ref, pmin_ref, pmax_ref,
+def _shadow_kernel(counts_ref, meta_ref, pmin_ref, pmax_ref,
                    trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref, oz_ref,
                    ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref, bitmap_scr,
                    *, w_pad: int, rows: int, n_words: int, n_sz: int):
-    """lists/counts/meta/pmin/pmax are scalar-prefetch (SMEM) refs."""
-    block = pl.program_id(0)
-    n = counts_ref[block]
+    """counts/meta/pmin/pmax are scalar-prefetch (SMEM) refs.
+
+    Candidates are compacted valid-first, so the loop runs the flat prefix
+    [0, n).  (A per-block pruned index list would cut ~35% of iterations but
+    overflows SMEM at useful capacities — revisit with VMEM-resident lists.)
+    """
+    n = counts_ref[0]
     R = rows
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, w_pad), 1)
@@ -141,8 +145,7 @@ def _shadow_kernel(lists_ref, counts_ref, meta_ref, pmin_ref, pmax_ref,
             acc = jnp.where(~bg & (szidx == s), rowvec, acc)
         bitmap_scr[w] = acc
 
-    def body(m, occ):
-        c = lists_ref[block, m]
+    def body(c, occ):
         ent_c = meta_ref[c, 0]
         word_c = meta_ref[c, 1]
         bit_c = meta_ref[c, 2]
@@ -176,11 +179,13 @@ def _shadow_kernel(lists_ref, counts_ref, meta_ref, pmin_ref, pmax_ref,
         hi = jnp.where(b < hi, b, hi)
         hit = hi >= lo
 
-        return occ | (member & hit & (ent != ent_c))
+        # int32 accumulator: Mosaic cannot legalize i1-vector loop carries.
+        occ_new = member & hit & (ent != ent_c)
+        return occ | occ_new.astype(jnp.int32)
 
-    occ0 = jnp.zeros((R, w_pad), bool)
+    occ0 = jnp.zeros((R, w_pad), jnp.int32)
     occluded = jax.lax.fori_loop(0, n, body, occ0)
-    out_ref[...] = jnp.where(occluded, 0, 1).astype(jnp.int32)
+    out_ref[...] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
 
 
 def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
@@ -200,8 +205,7 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     member_words = pack_member_words(member)
     n_words = member_words.shape[1]
     t_row, t_bg = lane_member_tables(member_words, cfg, tables, R, w_pad)
-    lists, blk_counts, _overflow = block_candidate_lists(
-        cands, member, R, cfg, tables, tables.max_block_candidates)
+    n_valid = cands.valid.sum().astype(jnp.int32)[None]
 
     meta = jnp.stack([
         jnp.where(cands.valid, cands.ent, -(10 ** 9)),
@@ -218,7 +222,7 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,          # lists, counts, meta, pmin, pmax
+        num_scalar_prefetch=4,          # count, meta, pmin, pmax
         grid=(NB,),
         in_specs=[
             pl.BlockSpec((1, SZ * n_words, w_pad), lambda i, *_: (i, 0, 0),
@@ -235,5 +239,5 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, w_pad), jnp.int32),
         interpret=interpret,
-    )(lists, blk_counts, meta, cands.pmin, cands.pmax, t_row, t_bg,
+    )(n_valid, meta, cands.pmin, cands.pmax, t_row, t_bg,
       szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)
