@@ -48,10 +48,13 @@ def main() -> None:
 
     from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
 
+    from pixel_art_raytracer_tpu.ops import shadow_fast
+
     scene = graybox_world(config)
     light = default_light(config)
+    tables = shadow_fast.default_tables(config, max_candidates=1024)
     renderer = DeferredRenderer(config, shadow_impl="pallas",
-                                trace_impl="auto")
+                                trace_impl="auto", shadow_tables=tables)
     renderer.spans = renderer.spans_for(scene)
     cache = StaticBins(scene.pos, scene.ext, 1, config, renderer.spans)
     anim = AnimationRenderer(renderer, config, static_bins=cache)

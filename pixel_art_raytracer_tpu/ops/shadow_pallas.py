@@ -112,15 +112,18 @@ def lane_member_tables(member_words, config: RenderConfig,
     return t_row, t_bg
 
 
-def _shadow_kernel(counts_ref, meta_ref, pmin_ref, pmax_ref,
+def _shadow_kernel(counts_ref, cbin_ref, box_ref, centi_ref,
                    trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref, oz_ref,
                    ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref, bitmap_scr,
                    *, w_pad: int, rows: int, n_words: int, n_sz: int):
-    """counts/meta/pmin/pmax are scalar-prefetch (SMEM) refs.
+    """counts (n) and cbin (per-candidate flat bin id) ride scalar prefetch
+    (SMEM) — they must be scalars for control flow / dynamic indexing.  The
+    box corners and entity ids live in VMEM as [field, M] tables read as
+    [1, 1] column slices (SMEM operands get buffered per grid step, which
+    blows the 1 MB budget for multi-KB tables).
 
     Candidates are compacted valid-first, so the loop runs the flat prefix
-    [0, n).  (A per-block pruned index list would cut ~35% of iterations but
-    overflows SMEM at useful capacities — revisit with VMEM-resident lists.)
+    [0, n).
     """
     n = counts_ref[0]
     R = rows
@@ -146,18 +149,20 @@ def _shadow_kernel(counts_ref, meta_ref, pmin_ref, pmax_ref,
         bitmap_scr[w] = acc
 
     def body(c, occ):
-        ent_c = meta_ref[c, 0]
-        word_c = meta_ref[c, 1]
-        bit_c = meta_ref[c, 2]
-        px = pmin_ref[c, 0]
-        py = pmin_ref[c, 1]
-        pz = pmin_ref[c, 2]
-        qx = pmax_ref[c, 0]
-        qy = pmax_ref[c, 1]
-        qz = pmax_ref[c, 2]
+        b_c = cbin_ref[c]                  # scalar flat bin id (SMEM)
+        word_c = b_c // 32
+        bit_c = b_c % 32
+        col = pl.ds(c, 1)
+        px = box_ref[0:1, col]             # [1, 1] slices broadcast below
+        py = box_ref[1:2, col]
+        pz = box_ref[2:3, col]
+        qx = box_ref[3:4, col]
+        qy = box_ref[4:5, col]
+        qz = box_ref[5:6, col]
+        ent_c = centi_ref[0:1, col]
 
         w = bitmap_scr[word_c]
-        member = ((w >> bit_c.astype(jnp.uint32)) & 1) > 0
+        member = ((w >> bit_c.astype(jnp.uint32)) & jnp.uint32(1)) > 0
 
         # Slab test with the reference's std::min/std::max argument order
         # (alternative.cpp:40-83).
@@ -207,11 +212,13 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     t_row, t_bg = lane_member_tables(member_words, cfg, tables, R, w_pad)
     n_valid = cands.valid.sum().astype(jnp.int32)[None]
 
-    meta = jnp.stack([
-        jnp.where(cands.valid, cands.ent, -(10 ** 9)),
-        cands.bin // 32,
-        cands.bin % 32,
-    ], axis=1).astype(jnp.int32)
+    M = cands.bin.shape[0]
+    cbin = cands.bin.astype(jnp.int32)                         # (M,) SMEM
+    box = jnp.zeros((8, M), jnp.float32)
+    box = box.at[0:3].set(cands.pmin.T).at[3:6].set(cands.pmax.T)
+    centi = jnp.broadcast_to(
+        jnp.where(cands.valid, cands.ent, -(10 ** 9))[None, :],
+        (8, M)).astype(jnp.int32)
 
     kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
                                n_words=n_words, n_sz=SZ)
@@ -221,10 +228,17 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
         return pl.BlockSpec((R, w_pad), lambda i_, *_: (i_, 0),
                             memory_space=pltpu.VMEM)
 
+    # SMEM operands are buffered per grid step (40 x their size), so only
+    # the scalars that must be scalar — the loop count and the per-candidate
+    # flat bin ids — ride scalar prefetch; box/entity tables are VMEM.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,          # count, meta, pmin, pmax
+        num_scalar_prefetch=2,          # count, cbin
         grid=(NB,),
         in_specs=[
+            pl.BlockSpec(box.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),    # box corners
+            pl.BlockSpec(centi.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),    # candidate entity ids
             pl.BlockSpec((1, SZ * n_words, w_pad), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),    # t_row
             pl.BlockSpec(memory_space=pltpu.VMEM),    # t_bg (full)
@@ -239,5 +253,5 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, w_pad), jnp.int32),
         interpret=interpret,
-    )(n_valid, meta, cands.pmin, cands.pmax, t_row, t_bg,
+    )(n_valid, cbin, box, centi, t_row, t_bg,
       szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)

@@ -22,6 +22,8 @@ Q3), so it suffices to cache, per bin, the static total and the last
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,10 +56,13 @@ class StaticBins:
         ext = jnp.asarray(ext, jnp.int32)
         # Bin the static tail with a widened capacity so the last
         # ``window`` static entries per bin survive, then recover true
-        # totals.  A second full-capacity pass would lose them.
-        self.static_total, self.static_ids = _bin_statics(
-            pos[n_dynamic:], ext[n_dynamic:], n_dynamic, config, spans,
-            self.window)
+        # totals.  A second full-capacity pass would lose them.  Jitted:
+        # eager op-by-op dispatch is pathological on remote backends.
+        build = jax.jit(functools.partial(
+            _bin_statics, id_offset=n_dynamic, config=config, spans=spans,
+            window=self.window))
+        self.static_total, self.static_ids = build(pos[n_dynamic:],
+                                                   ext[n_dynamic:])
 
     def merge(self, dyn_pos: jax.Array, dyn_ext: jax.Array):
         """Merge per-frame dynamic entities; returns (bins_ent, counts)

@@ -1,0 +1,55 @@
+"""On-device parity check: compiled (Mosaic) kernels vs the CPU oracle.
+
+Renders the graybox frame on the current backend with every implementation
+pair and reports pixel-exactness against the NumPy oracle (itself
+cross-checked against the independent C++ oracle).  Run on the TPU to verify
+the compiled kernels — interpret-mode parity on CPU does not cover Mosaic
+lowering.
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from pixel_art_raytracer_tpu.config import DEFAULT_CONFIG as cfg
+    from pixel_art_raytracer_tpu.scene import graybox_world, default_light
+    from pixel_art_raytracer_tpu import oracle
+    from pixel_art_raytracer_tpu.models.deferred import (DeferredRenderer,
+                                                         DeviceScene)
+    from pixel_art_raytracer_tpu.ops import shadow_fast
+
+    scene = graybox_world()
+    light = default_light()
+    print("computing oracle golden frame...")
+    img_p, _ = oracle.render_frame(scene, light)
+
+    ds = DeviceScene.from_scene(scene)
+    la = jnp.asarray(light.as_array())
+    tables = shadow_fast.default_tables(cfg, max_candidates=1024)
+    failures = 0
+    for trace_impl, shadow_impl in [("pallas", "pallas"), ("pallas", "fast"),
+                                    ("jnp", "fast")]:
+        r = DeferredRenderer(cfg, shadow_impl=shadow_impl,
+                             trace_impl=trace_impl, shadow_tables=tables)
+        r.spans = r.spans_for(scene)
+        t0 = time.time()
+        frame = np.asarray(r.render(ds, la))
+        ok = np.array_equal(frame, img_p)
+        failures += 0 if ok else 1
+        diff = 0 if ok else int((frame != img_p).any(-1).sum())
+        print(f"trace={trace_impl:6s} shadow={shadow_impl:6s} "
+              f"exact={ok} diff_px={diff} ({time.time()-t0:.0f}s)")
+    print("PARITY OK" if failures == 0 else f"PARITY FAILURES: {failures}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
