@@ -147,49 +147,63 @@ def _shadow_kernel(counts_ref, cbin_ref, box_ref, centi_ref,
             rowvec = trow_ref[0, s * n_words + w:s * n_words + w + 1, :]
             acc = jnp.where(~bg & (szidx == s), rowvec, acc)
         bitmap_scr[w] = acc
+    # Dedicated always-zero word: padded/invalid candidates index it.
+    bitmap_scr[n_words] = jnp.zeros((R, w_pad), jnp.uint32)
 
-    def body(c, occ):
-        b_c = cbin_ref[c]                  # scalar flat bin id (SMEM)
-        word_c = b_c // 32
-        bit_c = b_c % 32
-        col = pl.ds(c, 1)
-        px = box_ref[0:1, col]             # [1, 1] slices broadcast below
-        py = box_ref[1:2, col]
-        pz = box_ref[2:3, col]
-        qx = box_ref[3:4, col]
-        qy = box_ref[4:5, col]
-        qz = box_ref[5:6, col]
-        ent_c = centi_ref[0:1, col]
+    def chunk_body(i, occ):
+        # Candidate tables are [M, 8] (candidate-major): dynamic sublane
+        # slices must be 8-aligned on TPU, so candidates stream in chunks of
+        # 8 with static [1, 1] extracts inside each tile.  Padded/invalid
+        # candidates point at the dedicated always-zero bitmap word.
+        c0 = pl.multiple_of(i * 8, 8)
 
-        w = bitmap_scr[word_c]
-        member = ((w >> bit_c.astype(jnp.uint32)) & jnp.uint32(1)) > 0
+        for cc in range(8):
+            c = c0 + cc
+            b_c = cbin_ref[c]                      # scalar flat-ish bin id
+            word_c = b_c // 32
+            bit_c = b_c % 32
+            # Scalar loads from the VMEM tables: scalars broadcast freely
+            # into the [R, w_pad] vector math (vector extracts would need a
+            # both-dims broadcast, which Mosaic lacks).
+            px = box_ref[c, 0]
+            py = box_ref[c, 1]
+            pz = box_ref[c, 2]
+            qx = box_ref[c, 3]
+            qy = box_ref[c, 4]
+            qz = box_ref[c, 5]
+            ent_c = centi_ref[c, 0]
 
-        # Slab test with the reference's std::min/std::max argument order
-        # (alternative.cpp:40-83).
-        x1 = (px - ox) * ivx
-        x2 = (qx - ox) * ivx
-        lo = jnp.where(x2 < x1, x2, x1)
-        hi = jnp.where(x1 < x2, x2, x1)
-        y1 = (py - oy) * ivy
-        y2 = (qy - oy) * ivy
-        a = jnp.where(y2 < y1, y2, y1)
-        b = jnp.where(y1 < y2, y2, y1)
-        lo = jnp.where(lo < a, a, lo)
-        hi = jnp.where(b < hi, b, hi)
-        z1 = (pz - oz) * ivz
-        z2 = (qz - oz) * ivz
-        a = jnp.where(z2 < z1, z2, z1)
-        b = jnp.where(z1 < z2, z2, z1)
-        lo = jnp.where(lo < a, a, lo)
-        hi = jnp.where(b < hi, b, hi)
-        hit = hi >= lo
+            w = bitmap_scr[word_c]
+            member = ((w >> bit_c.astype(jnp.uint32)) & jnp.uint32(1)) > 0
 
-        # int32 accumulator: Mosaic cannot legalize i1-vector loop carries.
-        occ_new = member & hit & (ent != ent_c)
-        return occ | occ_new.astype(jnp.int32)
+            # Slab test with the reference's std::min/std::max argument
+            # order (alternative.cpp:40-83).
+            x1 = (px - ox) * ivx
+            x2 = (qx - ox) * ivx
+            lo = jnp.where(x2 < x1, x2, x1)
+            hi = jnp.where(x1 < x2, x2, x1)
+            y1 = (py - oy) * ivy
+            y2 = (qy - oy) * ivy
+            a = jnp.where(y2 < y1, y2, y1)
+            b = jnp.where(y1 < y2, y2, y1)
+            lo = jnp.where(lo < a, a, lo)
+            hi = jnp.where(b < hi, b, hi)
+            z1 = (pz - oz) * ivz
+            z2 = (qz - oz) * ivz
+            a = jnp.where(z2 < z1, z2, z1)
+            b = jnp.where(z1 < z2, z2, z1)
+            lo = jnp.where(lo < a, a, lo)
+            hi = jnp.where(b < hi, b, hi)
+            hit = hi >= lo
+
+            occ_new = member & hit & (ent != ent_c)
+            # int32 accumulator: Mosaic cannot legalize i1 loop carries.
+            occ = occ | occ_new.astype(jnp.int32)
+        return occ
 
     occ0 = jnp.zeros((R, w_pad), jnp.int32)
-    occluded = jax.lax.fori_loop(0, n, body, occ0)
+    n_chunks = (n + 7) // 8
+    occluded = jax.lax.fori_loop(0, n_chunks, chunk_body, occ0)
     out_ref[...] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
 
 
@@ -213,12 +227,14 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     n_valid = cands.valid.sum().astype(jnp.int32)[None]
 
     M = cands.bin.shape[0]
-    cbin = cands.bin.astype(jnp.int32)                         # (M,) SMEM
-    box = jnp.zeros((8, M), jnp.float32)
-    box = box.at[0:3].set(cands.pmin.T).at[3:6].set(cands.pmax.T)
+    assert M % 8 == 0
+    # Invalid/padded candidates point at the always-zero bitmap word.
+    cbin = jnp.where(cands.valid, cands.bin, n_words * 32).astype(jnp.int32)
+    box = jnp.zeros((M, 8), jnp.float32)
+    box = box.at[:, 0:3].set(cands.pmin).at[:, 3:6].set(cands.pmax)
     centi = jnp.broadcast_to(
-        jnp.where(cands.valid, cands.ent, -(10 ** 9))[None, :],
-        (8, M)).astype(jnp.int32)
+        jnp.where(cands.valid, cands.ent, -(10 ** 9))[:, None],
+        (M, 8)).astype(jnp.int32)
 
     kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
                                n_words=n_words, n_sz=SZ)
@@ -246,7 +262,7 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
         ],
         out_specs=pl.BlockSpec((R, w_pad), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_words, R, w_pad), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((n_words + 1, R, w_pad), jnp.uint32)],
     )
     return pl.pallas_call(
         kernel,

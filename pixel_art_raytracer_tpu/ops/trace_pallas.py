@@ -101,6 +101,8 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
         d0[sid],
         slope[sid],
         ent_s,
+        p[..., 2],                                            # posz
+        sid,
     ]
     stacked = jnp.stack(fields)                               # (F, HH, HL, cap, HW)
     F = stacked.shape[0]
@@ -113,7 +115,8 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
     return lanes
 
 
-def _trace_kernel(tab_ref, out_ref, mkey_scr, empty_scr, *, config,
+def _trace_kernel(tab_ref, key_ref, ent_ref, sdep_ref, pz_ref, rb_ref,
+                  px_ref, sid_ref, mkey_scr, empty_scr, *, config,
                   rows_per_block: int, n_cands: int, nc2: int, w_pad: int):
     cfg = config
     cap = cfg.bin_capacity
@@ -133,6 +136,9 @@ def _trace_kernel(tab_ref, out_ref, mkey_scr, empty_scr, *, config,
     f5 = tab_ref[6, 0]
     f6 = tab_ref[7, 0]
     f7 = tab_ref[8, 0]
+    fent = tab_ref[9, 0]
+    fpz = tab_ref[10, 0]
+    fsid = tab_ref[11, 0]
 
     # Per-bin empty masks (jr-independent): row b holds bin b's emptiness.
     for b in range(HL):
@@ -143,8 +149,8 @@ def _trace_kernel(tab_ref, out_ref, mkey_scr, empty_scr, *, config,
     block = pl.program_id(0)
     j0 = block * R
 
-    # Phase 1: per-row candidate keys -> per-(bin, jr) maxima.
-    for jr in range(R):
+    def cand_keys(jr):
+        """Per-candidate keys (and sdep) for screen row j0+jr."""
         world_j = H - (j0 + jr)
         row = f3 - world_j
         hit = ((valid > 0)
@@ -154,6 +160,11 @@ def _trace_kernel(tab_ref, out_ref, mkey_scr, empty_scr, *, config,
         depth = f4 + jnp.minimum(0, f5 - row) - sdep
         key = jnp.where(hit, depth * nc2 + (nc2 - 1 - cand_i),
                         jnp.int32(KEY_MIN))
+        return key, sdep
+
+    # Phase 1: per-row candidate keys -> per-(bin, jr) maxima.
+    for jr in range(R):
+        key, _ = cand_keys(jr)
         for b in range(HL):
             mkey_scr[b * R + jr:b * R + jr + 1] = jnp.max(
                 key[b * cap:(b + 1) * cap], axis=0, keepdims=True)
@@ -174,7 +185,25 @@ def _trace_kernel(tab_ref, out_ref, mkey_scr, empty_scr, *, config,
         else:
             total = jnp.maximum(total, m)
 
-    out_ref[:] = total
+    key_ref[:] = total
+
+    # Phase 3: winner-field resolve (keys are unique, so a masked max over
+    # candidates recovers each winner attribute) — saves the epilogue a
+    # per-pixel gather per attribute.
+    for jr in range(R):
+        key, sdep = cand_keys(jr)
+        match = key == total[jr:jr + 1, :]      # at most one candidate true
+
+        def pick(field):
+            return jnp.max(jnp.where(match, field, jnp.int32(KEY_MIN)),
+                           axis=0, keepdims=True)
+
+        ent_ref[jr:jr + 1, :] = pick(fent)
+        sdep_ref[jr:jr + 1, :] = pick(sdep)
+        pz_ref[jr:jr + 1, :] = pick(fpz)
+        rb_ref[jr:jr + 1, :] = pick(f3)
+        px_ref[jr:jr + 1, :] = pick(f0)
+        sid_ref[jr:jr + 1, :] = pick(fsid)
 
 
 def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
@@ -200,6 +229,9 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     # Interpreter mode on non-TPU backends (CPU tests validate the kernel
     # logic; compiled Mosaic runs on real TPUs).
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    out = jax.ShapeDtypeStruct((H, w_pad), jnp.int32)
+    spec = pl.BlockSpec((R, w_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -208,9 +240,8 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
             (tables.shape[0], 1, n_cands, w_pad),
             lambda i: (0, (i * R) // bs, 0, 0),
             memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((R, w_pad), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, w_pad), jnp.int32),
+        out_specs=(spec,) * 7,
+        out_shape=(out,) * 7,
         scratch_shapes=[
             pltpu.VMEM((cfg.hash_length * R, w_pad), jnp.int32),
             pltpu.VMEM((cfg.hash_length, w_pad), jnp.int32),
@@ -227,28 +258,39 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
     ``depth_params``: (d0, slope) arrays from ``ramp_depth_params``.
     """
     cfg = config
+    H, W = cfg.view_height, cfg.view_width
     d0, slope = depth_params
-    w_pad = -(-cfg.view_width // 128) * 128
+    w_pad = -(-W // 128) * 128
     tables = _expand_tables(pos, ext, sprite_id, jnp.asarray(d0),
                             jnp.asarray(slope), bins_ent, counts, cfg, w_pad)
-    keys = trace_keys_pallas(tables, cfg)
-    keys = keys[:, :cfg.view_width]
+    keys, ent, sdep, pz, rowbase, posx, sid = (
+        a[:, :W] for a in trace_keys_pallas(tables, cfg))
 
-    # Decode: low bits carry (nc2-1 - candidate); candidate = binz*cap + slot.
-    n_cands = cfg.hash_length * cfg.bin_capacity
-    nc2 = 1
-    while nc2 < n_cands:
-        nc2 *= 2
+    # Winner attributes come straight from the kernel; only the per-texel
+    # color/normal maps still need gathers.
     hit = keys > KEY_MIN // 2
-    cand = (nc2 - 1) - (keys & (nc2 - 1))
-    j = jnp.arange(cfg.view_height, dtype=jnp.int32)[:, None]
-    i = jnp.arange(cfg.view_width, dtype=jnp.int32)[None, :]
-    biny = j // cfg.bin_size
-    binx = i // cfg.bin_size
-    binz = cand // cfg.bin_capacity
-    slot = cand % cfg.bin_capacity
-    flat = (binx * cfg.hash_height + biny) * cfg.hash_length + binz
-    ent = bins_ent[jnp.where(hit, flat, 0), jnp.where(hit, slot, 0)]
-    winner = jnp.where(hit, ent, -1)
-    return materialize_gbuffer(winner, pos, ext, sprite_id, atlas_color,
-                               atlas_depth, atlas_normal, palette, cfg)
+    j = jnp.arange(H, dtype=jnp.int32)[:, None]
+    i = jnp.arange(W, dtype=jnp.int32)[None, :]
+    world_j = jnp.int32(H) - j
+
+    row = rowbase - world_j
+    col = i - posx
+    texel = ((jnp.where(hit, sid, 0) * cfg.sprite_height
+              + jnp.clip(row, 0, cfg.sprite_height - 1))
+             * cfg.sprite_width + jnp.clip(col, 0, cfg.sprite_width - 1))
+    cidx = atlas_color.reshape(-1)[texel]
+
+    # Palette resolve as a select chain — palettes are tiny and selects beat
+    # a per-pixel gather by ~1 ms/frame on TPU.
+    bg = jnp.asarray(cfg.background, jnp.uint8)
+    color = jnp.broadcast_to(bg, (H, W, 4))
+    for k in range(palette.shape[0]):
+        color = jnp.where((hit & (cidx == k))[..., None], palette[k], color)
+
+    normal = jnp.where(hit[..., None],
+                       atlas_normal.reshape(-1, 3)[texel], 0.0)
+    y = jnp.where(hit, rowbase - pz - row - sdep, 0)
+    z = jnp.where(hit, pz + sdep, 0)
+    entity = jnp.where(hit, ent, 0)
+    return GBufferArrays(normal=normal, color=color, y=y, z=z,
+                         entity_index=entity)
