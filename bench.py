@@ -55,7 +55,7 @@ def main() -> None:
     tables = shadow_fast.default_tables(config, max_candidates=1024)
     renderer = DeferredRenderer(config, shadow_impl="pallas",
                                 trace_impl="auto", shadow_tables=tables)
-    renderer.spans = renderer.spans_for(scene)
+    renderer.configure_for(scene)
     cache = StaticBins(scene.pos, scene.ext, 1, config, renderer.spans)
     anim = AnimationRenderer(renderer, config, static_bins=cache)
     dscene = DeviceScene.from_scene(scene, config)

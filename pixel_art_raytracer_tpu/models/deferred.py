@@ -88,6 +88,17 @@ class DeferredRenderer:
         # 'reference': continuous brightness scale (parity); 'dithered':
         # ordered-dither re-quantisation onto the palette (config-4 style).
         self.style = style
+        # Host-side two-band normal decomposition for the Pallas epilogue's
+        # select-chain fast path; set via configure_for(scene).
+        self.normal_bands = None
+
+    def configure_for(self, scene: Scene) -> "DeferredRenderer":
+        """Derive per-scene static parameters (bin spans, normal bands)."""
+        from ..ops.trace_pallas import normal_bands
+
+        self.spans = self.spans_for(scene)
+        self.normal_bands = normal_bands(np.asarray(scene.atlas.normal))
+        return self
 
     def spans_for(self, scene: Scene) -> tuple[int, int, int]:
         return binning.entity_span_bound(scene.ext.max(axis=0), self.config)
@@ -111,7 +122,7 @@ class DeferredRenderer:
                 dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
                 dscene.atlas_depth, dscene.atlas_normal, dscene.palette,
                 bins_ent, counts, self.config,
-                (dscene.depth_d0, dscene.depth_slope))
+                (dscene.depth_d0, dscene.depth_slope), self.normal_bands)
         return trace.trace_pixels(dscene.pos, dscene.ext, dscene.sprite_id,
                                   dscene.atlas_color, dscene.atlas_depth,
                                   dscene.atlas_normal, dscene.palette,

@@ -62,6 +62,29 @@ def ramp_depth_params(depth: np.ndarray):
     return d0.astype(np.int32), slope.astype(np.int32)
 
 
+def normal_bands(normal: np.ndarray):
+    """Detect two-band row-split normal maps: rows [0, split) share one
+    normal, rows [split, H) another (the shipped tile: top face (0,1,0),
+    front face (0,0,-1)).  Returns (split[S], top[S,3], front[S,3]) or None.
+    """
+    s, h, w, _ = normal.shape
+    top = normal[:, 0, 0]                      # (S, 3)
+    splits = np.zeros(s, np.int32)
+    fronts = np.empty((s, 3), np.float32)
+    for k in range(s):
+        rows_equal_top = (normal[k] == top[k]).all(axis=(1, 2))  # (H,)
+        split = int(rows_equal_top.argmin()) if not rows_equal_top.all() else h
+        band2 = normal[k, split:] if split < h else normal[k, :0]
+        front = normal[k, split, 0] if split < h else top[k]
+        if not (normal[k, :split] == top[k]).all():
+            return None
+        if split < h and not (band2 == front).all():
+            return None
+        splits[k] = split
+        fronts[k] = front
+    return splits, top.astype(np.float32), fronts
+
+
 def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
                    config: RenderConfig, w_pad: int):
     """Build lane-expanded candidate field tables.
@@ -252,10 +275,12 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
 def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
                         atlas_normal, palette, bins_ent, counts,
                         config: RenderConfig,
-                        depth_params) -> GBufferArrays:
+                        depth_params, bands=None) -> GBufferArrays:
     """Drop-in replacement for ops.trace.trace_pixels on ramp-depth atlases.
 
     ``depth_params``: (d0, slope) arrays from ``ramp_depth_params``.
+    ``bands``: host-side result of ``normal_bands`` (or None) — two-band
+    atlases resolve normals with select chains instead of gathers.
     """
     cfg = config
     H, W = cfg.view_height, cfg.view_width
@@ -287,8 +312,20 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
     for k in range(palette.shape[0]):
         color = jnp.where((hit & (cidx == k))[..., None], palette[k], color)
 
-    normal = jnp.where(hit[..., None],
-                       atlas_normal.reshape(-1, 3)[texel], 0.0)
+    if bands is not None and atlas_color.shape[0] <= 8:
+        # Two-band normals via select chains: no per-pixel gathers.
+        splits, tops, fronts = (np.asarray(b) for b in bands)
+        S = splits.shape[0]
+        normal = jnp.zeros((H, W, 3), jnp.float32)
+        for k in range(S):
+            is_k = hit & (sid == k)
+            top_band = (row < int(splits[k]))[..., None]
+            nk = jnp.where(top_band, jnp.asarray(tops[k]),
+                           jnp.asarray(fronts[k]))
+            normal = jnp.where(is_k[..., None], nk, normal)
+    else:
+        normal = jnp.where(hit[..., None],
+                           atlas_normal.reshape(-1, 3)[texel], 0.0)
     y = jnp.where(hit, rowbase - pz - row - sdep, 0)
     z = jnp.where(hit, pz + sdep, 0)
     entity = jnp.where(hit, ent, 0)

@@ -35,7 +35,7 @@ def main():
     scene = graybox_world()
     light = default_light()
     r = DeferredRenderer(cfg, shadow_impl="fast", trace_impl="auto")
-    r.spans = r.spans_for(scene)
+    r.configure_for(scene)
     cache = StaticBins(scene.pos, scene.ext, 1, cfg, r.spans)
     ds = DeviceScene.from_scene(scene, cfg)
     anim = AnimationRenderer(r, cfg, static_bins=cache)

@@ -46,7 +46,7 @@ def main():
           f"devices={jax.devices()}")
 
     r = DeferredRenderer(cfg)
-    r.spans = r.spans_for(scene)
+    r.configure_for(scene)
     ds = DeviceScene.from_scene(scene, cfg)
     la = jnp.asarray(light.as_array())
 

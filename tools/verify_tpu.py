@@ -39,7 +39,7 @@ def main():
                                     ("jnp", "fast")]:
         r = DeferredRenderer(cfg, shadow_impl=shadow_impl,
                              trace_impl=trace_impl, shadow_tables=tables)
-        r.spans = r.spans_for(scene)
+        r.configure_for(scene)
         t0 = time.time()
         frame = np.asarray(r.render(ds, la))
         ok = np.array_equal(frame, img_p)
