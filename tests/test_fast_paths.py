@@ -23,22 +23,22 @@ def setup(scene, **kw):
 
 
 class TestFastShadow:
-    @pytest.mark.parametrize("light", [
-        Light(480, 160, 80), Light(100, 100, 100), Light(0, 300, 10),
-        Light(250, 50, 150),
-    ])
-    def test_matches_scan(self, light):
+    def test_matches_scan(self):
         scene = demo_world(10)
         rs, ds, be, cnt = setup(scene, shadow_impl="scan")
         rf, *_ = setup(scene, shadow_impl="fast")
-        gbuf = jax.jit(rs.trace)(ds, be, cnt)
-        la = jnp.asarray(light.as_array())
-        f_scan = np.asarray(jax.jit(rs.shade)(ds, gbuf, be, cnt, la))
-        f_fast = np.asarray(jax.jit(rf.shade)(ds, gbuf, be, cnt, la))
-        np.testing.assert_array_equal(f_fast, f_scan)
         rk, *_ = setup(scene, shadow_impl="pallas")
-        f_kern = np.asarray(jax.jit(rk.shade)(ds, gbuf, be, cnt, la))
-        np.testing.assert_array_equal(f_kern, f_scan)
+        gbuf = jax.jit(rs.trace)(ds, be, cnt)
+        sh_scan = jax.jit(rs.shade)
+        sh_fast = jax.jit(rf.shade)
+        sh_kern = jax.jit(rk.shade)
+        for light in [Light(480, 160, 80), Light(250, 50, 150)]:
+            la = jnp.asarray(light.as_array())
+            f_scan = np.asarray(sh_scan(ds, gbuf, be, cnt, la))
+            f_fast = np.asarray(sh_fast(ds, gbuf, be, cnt, la))
+            np.testing.assert_array_equal(f_fast, f_scan, err_msg=str(light))
+            f_kern = np.asarray(sh_kern(ds, gbuf, be, cnt, la))
+            np.testing.assert_array_equal(f_kern, f_scan, err_msg=str(light))
 
     def test_no_candidate_overflow_on_demo(self):
         from pixel_art_raytracer_tpu.ops import shadow_fast

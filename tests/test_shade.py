@@ -12,9 +12,18 @@ from pixel_art_raytracer_tpu.models.deferred import DeferredRenderer, DeviceScen
 from pixel_art_raytracer_tpu.runtime import native
 
 
+_RENDERERS = {}
+
+
 def render_jax(scene, light, config=DEFAULT_CONFIG):
-    r = DeferredRenderer(config)
-    r.spans = r.spans_for(scene)
+    # One renderer per (config, scene-shape): jit caches persist across
+    # lights, keeping the suite to a single compile per shape.
+    key = (config, scene.n_entities)
+    if key not in _RENDERERS:
+        r = DeferredRenderer(config)
+        r.spans = r.spans_for(scene)
+        _RENDERERS[key] = r
+    r = _RENDERERS[key]
     ds = DeviceScene.from_scene(scene, config)
     return np.asarray(r.render(ds, light.as_array()))
 
