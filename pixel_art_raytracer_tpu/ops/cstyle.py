@@ -86,6 +86,31 @@ def scale_color_u8(color, factor):
     return scaled.astype(xp.uint8)
 
 
+def exact_f32_div(a, b):
+    """Correctly-rounded float32 division on every backend.
+
+    XLA:TPU lowers f32 division to a reciprocal refinement that is ~1 ulp off
+    for a third of operands (measured), which flips truncation-boundary
+    pixels vs the C++ reference.  On TPU the quotient runs in (emulated)
+    float64 and rounds back — provably exact for this renderer's operand
+    classes: small-integer-valued numerators/denominators (L1 lengths, bin
+    distances) and reciprocals of f32 values, whose quotients are never
+    within double-rounding distance of an f32 boundary.
+
+    On CPU, plain division is already IEEE — no overhead.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return a / b
+    import jax.numpy as jnp
+    from jax.experimental import enable_x64
+
+    with enable_x64():
+        q = a.astype(jnp.float64) / b.astype(jnp.float64)
+        return q.astype(jnp.float32)
+
+
 def normal_to_debug_color(nx, ny, nz):
     """``Vector::operator Color`` (sprites.hpp:37-51): the reference's debug
     visualisation of a normal as an RGB color.

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
-from .cstyle import c_min, c_max, c_div
+from .cstyle import c_min, c_max, c_div, exact_f32_div
 from .shadow import trace_light
 from .trace import GBufferArrays
 
@@ -62,11 +62,16 @@ def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
     dz = lz.astype(f32) - wz.astype(f32)
     # L1 normalisation (sprites.hpp:28-35, quirk Q2).
     length = jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz)
-    tlx, tly, tlz = dx / length, dy / length, dz / length
-    # Barrier: XLA's algebraic simplifier would fold 1/(d/len) into len/d,
-    # removing one f32 rounding and flipping knife-edge shadow results.
+    # Correctly-rounded divisions (TPU's native f32 divide is ~1 ulp off);
+    # the barrier stops XLA folding 1/(d/len) into len/d, which would remove
+    # one rounding step the reference performs.
+    tlx = exact_f32_div(dx, length)
+    tly = exact_f32_div(dy, length)
+    tlz = exact_f32_div(dz, length)
     tlx, tly, tlz = jax.lax.optimization_barrier((tlx, tly, tlz))
-    inv = (f32(1.0) / tlx, f32(1.0) / tly, f32(1.0) / tlz)
+    one = jnp.ones_like(tlx)
+    inv = (exact_f32_div(one, tlx), exact_f32_div(one, tly),
+           exact_f32_div(one, tlz))
 
     # Bin coordinates (alternative.cpp:724-732), C-truncating division.
     rbx = c_div(wx, bs)
@@ -172,9 +177,13 @@ def shade_directional(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
 
     d = jnp.asarray(direction, f32)
     length = jnp.abs(d[0]) + jnp.abs(d[1]) + jnp.abs(d[2])
-    tlx, tly, tlz = d[0] / length, d[1] / length, d[2] / length
+    tlx = exact_f32_div(d[0], length)
+    tly = exact_f32_div(d[1], length)
+    tlz = exact_f32_div(d[2], length)
     tlx, tly, tlz = jax.lax.optimization_barrier((tlx, tly, tlz))
-    inv = (f32(1.0) / tlx, f32(1.0) / tly, f32(1.0) / tlz)
+    one = jnp.ones_like(tlx)
+    inv = (exact_f32_div(one, tlx), exact_f32_div(one, tly),
+           exact_f32_div(one, tlz))
 
     rbx = c_div(wx, bs)
     rby = c_div(jnp.int32(cfg.view_height) - wy - wz, bs)

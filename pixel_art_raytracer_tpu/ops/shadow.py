@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
-from .cstyle import c_min, c_max
+from .cstyle import c_min, c_max, exact_f32_div
 
 # Per-phase axis participation: x, y, z, xy, xz, yz, xyz-advance
 # (alternative.cpp:432-466).
@@ -65,7 +65,9 @@ def trace_light(pos: jax.Array, ext: jax.Array, bins_ent: jax.Array,
     dy = jnp.asarray(lby, f32) - sy
     dz = jnp.asarray(lbz, f32) - sz
     largest = c_max(c_max(jnp.abs(dx), jnp.abs(dy)), jnp.abs(dz))
-    stx, sty, stz = dx / largest, dy / largest, dz / largest
+    stx = exact_f32_div(dx, largest)
+    sty = exact_f32_div(dy, largest)
+    stz = exact_f32_div(dz, largest)
     n_steps = largest.astype(jnp.int32)
 
     start_flat = (rbx * cfg.hash_height + rby) * cfg.hash_length + rbz

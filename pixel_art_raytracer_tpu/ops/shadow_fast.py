@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
-from .cstyle import c_min, c_max
+from .cstyle import c_min, c_max, exact_f32_div
 
 
 class ShadowTables(NamedTuple):
@@ -98,7 +98,9 @@ def dda_membership(light_bin, config: RenderConfig, tables: ShadowTables):
     dy = jnp.asarray(lby, f32) - fy
     dz = jnp.asarray(lbz, f32) - fz
     largest = c_max(c_max(jnp.abs(dx), jnp.abs(dy)), jnp.abs(dz))
-    stx, sty, stz = dx / largest, dy / largest, dz / largest
+    stx = exact_f32_div(dx, largest)
+    sty = exact_f32_div(dy, largest)
+    stz = exact_f32_div(dz, largest)
     n_steps = largest.astype(jnp.int32)
     start_flat = (sx * cfg.hash_height + sy) * cfg.hash_length + sz
 
