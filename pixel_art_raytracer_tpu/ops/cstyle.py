@@ -104,11 +104,30 @@ def exact_f32_div(a, b):
     if jax.default_backend() == "cpu":
         return a / b
     import jax.numpy as jnp
-    from jax.experimental import enable_x64
 
-    with enable_x64():
-        q = a.astype(jnp.float64) / b.astype(jnp.float64)
-        return q.astype(jnp.float32)
+    _allow_explicit_x64()
+    q = a.astype(jnp.float64) / b.astype(jnp.float64)
+    assert q.dtype == jnp.float64, "explicit float64 unavailable"
+    return q.astype(jnp.float32)
+
+
+_X64_READY = False
+
+
+def _allow_explicit_x64():
+    """Permit explicit float64 arrays without flipping jax's 32-bit defaults."""
+    global _X64_READY
+    if _X64_READY:
+        return
+    import jax
+
+    try:
+        from jax._src.config import ExplicitX64Mode
+
+        jax.config.update("jax_explicit_x64_dtypes", ExplicitX64Mode.ALLOW)
+    except Exception:
+        jax.config.update("jax_enable_x64", True)
+    _X64_READY = True
 
 
 def normal_to_debug_color(nx, ny, nz):

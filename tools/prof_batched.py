@@ -34,7 +34,9 @@ def main():
 
     scene = graybox_world()
     light = default_light()
-    r = DeferredRenderer(cfg, shadow_impl="fast", trace_impl="auto")
+    from pixel_art_raytracer_tpu.ops import shadow_fast as _sf
+    tables = _sf.default_tables(cfg, max_candidates=1024)
+    r = DeferredRenderer(cfg, shadow_impl="pallas", trace_impl="auto", shadow_tables=tables)
     r.configure_for(scene)
     cache = StaticBins(scene.pos, scene.ext, 1, cfg, r.spans)
     anim = AnimationRenderer(r, cfg, static_bins=cache)
