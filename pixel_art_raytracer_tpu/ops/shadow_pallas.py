@@ -112,20 +112,18 @@ def lane_member_tables(member_words, config: RenderConfig,
     return t_row, t_bg
 
 
-def _shadow_kernel(counts_ref, cbin_ref, box_ref, centi_ref,
+def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
                    trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref, oz_ref,
                    ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref, bitmap_scr,
                    *, w_pad: int, rows: int, n_words: int, n_sz: int):
-    """counts (n) and cbin (per-candidate flat bin id) ride scalar prefetch
-    (SMEM) — they must be scalars for control flow / dynamic indexing.  The
-    box corners and entity ids live in VMEM as [field, M] tables read as
-    [1, 1] column slices (SMEM operands get buffered per grid step, which
-    blows the 1 MB budget for multi-KB tables).
-
-    Candidates are compacted valid-first, so the loop runs the flat prefix
-    [0, n).
+    """Per-block pruned candidate counts and the flat-bin id table ride
+    scalar prefetch (tiny); the pruned per-block index lists stream through
+    a blocked SMEM input (whole SMEM tables would be buffered per grid
+    step, blowing the 1 MB budget); box corners / entity ids live in VMEM
+    and are read with scalar loads.
     """
-    n = counts_ref[0]
+    block = pl.program_id(0)
+    n = counts_ref[block]
     R = rows
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, w_pad), 1)
@@ -151,14 +149,15 @@ def _shadow_kernel(counts_ref, cbin_ref, box_ref, centi_ref,
     bitmap_scr[n_words] = jnp.zeros((R, w_pad), jnp.uint32)
 
     def chunk_body(i, occ):
-        # Candidate tables are [M, 8] (candidate-major): dynamic sublane
-        # slices must be 8-aligned on TPU, so candidates stream in chunks of
-        # 8 with static [1, 1] extracts inside each tile.  Padded/invalid
-        # candidates point at the dedicated always-zero bitmap word.
-        c0 = pl.multiple_of(i * 8, 8)
+        # Candidates stream in chunks of 8 through this block's *pruned*
+        # index list (lists_ref, SMEM); all parameter reads are scalar
+        # loads.  Padded/invalid candidates point at the dedicated
+        # always-zero bitmap word.
+        c0 = i * 8
 
         for cc in range(8):
-            c = c0 + cc
+            m = c0 + cc
+            c = lists_ref[0, m // 128, m % 128]
             b_c = cbin_ref[c]                      # scalar flat-ish bin id
             word_c = b_c // 32
             bit_c = b_c % 32
@@ -224,7 +223,8 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     member_words = pack_member_words(member)
     n_words = member_words.shape[1]
     t_row, t_bg = lane_member_tables(member_words, cfg, tables, R, w_pad)
-    n_valid = cands.valid.sum().astype(jnp.int32)[None]
+    lists, blk_counts, _overflow = block_candidate_lists(
+        cands, member, R, cfg, tables, cands.bin.shape[0])
 
     M = cands.bin.shape[0]
     assert M % 8 == 0
@@ -244,13 +244,16 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
         return pl.BlockSpec((R, w_pad), lambda i_, *_: (i_, 0),
                             memory_space=pltpu.VMEM)
 
-    # SMEM operands are buffered per grid step (40 x their size), so only
-    # the scalars that must be scalar — the loop count and the per-candidate
-    # flat bin ids — ride scalar prefetch; box/entity tables are VMEM.
+    # SMEM operands are buffered per grid step (40 x their size): whole
+    # tables must not ride scalar prefetch, but a *blocked* SMEM spec only
+    # buffers its 4 KB block — the per-block pruned candidate list uses
+    # that.  Box/entity parameter tables live in VMEM (scalar loads).
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,          # count, cbin
+        num_scalar_prefetch=2,          # per-block counts, cbin
         grid=(NB,),
         in_specs=[
+            pl.BlockSpec((1, M // 128, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.SMEM),    # pruned index lists
             pl.BlockSpec(box.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),    # box corners
             pl.BlockSpec(centi.shape, lambda i, *_: (0, 0),
@@ -269,5 +272,6 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, w_pad), jnp.int32),
         interpret=interpret,
-    )(n_valid, cbin, box, centi, t_row, t_bg,
+    )(blk_counts, cbin, lists.reshape(-1, M // 128, 128), box, centi,
+      t_row, t_bg,
       szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)
