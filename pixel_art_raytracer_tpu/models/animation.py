@@ -103,12 +103,19 @@ class AnimationRenderer:
         return r.shade(scene_f, gbuf, bins_ent, counts, light)
 
     def _render_states(self, dscene, player_pos, lights):
+        cfg = self.config
+        H, W = cfg.view_height, cfg.view_width
+
         def body(_, pl):
             player, light = pl
-            return None, self._frame(dscene, player, light)
+            frame = self._frame(dscene, player, light)
+            # Flatten (W, 3) so the scan-stacked uint8 buffer has a dense
+            # minor dimension — TPU tiling would pad a minor dim of 3 to
+            # 128 (a 42x memory and bandwidth blowup).
+            return None, frame.reshape(H, W * 3)
 
         _, frames = jax.lax.scan(body, None, (player_pos, lights))
-        return frames
+        return frames.reshape(-1, H, W, 3)
 
     # -- scripted sweeps ---------------------------------------------------
 
