@@ -27,7 +27,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,46 +46,26 @@ def pack_member_words(member) -> jax.Array:
 
 def block_candidate_lists(cands: Candidates, member, rows_per_block: int,
                           config: RenderConfig, tables: ShadowTables,
-                          max_per_block: int, lane_block: int = 128):
-    """Per-(row-block, lane-block) pruned candidate index lists.
+                          max_per_block: int):
+    """Per-row-block pruned candidate index lists.
 
-    A candidate survives for a tile when ``member[start, cand.bin]`` is set
-    for some start bin reachable from the tile: sx within the lane block's
-    bin columns (all sx for the background row, whose rays start anywhere),
-    sy in {tile row band, background row}, sz free.  Returns
-    (lists (NB*NL, max_per_block) i32, counts (NB*NL,) i32, overflow bool).
+    A candidate survives for a block when ``member[start, cand.bin]`` is set
+    for some start bin reachable from the block: sx free, sy in {block row
+    band, background row}, sz free.  Returns (lists (NB, max_per_block) i32,
+    counts (NB,) i32, overflow bool).
     """
     cfg = config
     H = cfg.view_height
     NB = H // rows_per_block
-    w_pad = -(-cfg.view_width // lane_block) * lane_block
-    NL = w_pad // lane_block
     SY = cfg.hash_height + 1
     SZ = tables.sz_hi - tables.sz_lo
 
     m = member.reshape(cfg.hash_width, SY, SZ, -1)
-    # Reach per (sx, sy): any sz start tests the bin.
-    per_sxsy = m.any(axis=2)                                      # (SX, SY, V)
+    per_sy = m.any(axis=(0, 2))                                   # (SY, V)
     block_sy = (jnp.arange(NB, dtype=jnp.int32) * rows_per_block) // cfg.bin_size
+    reach = per_sy[block_sy] | per_sy[cfg.hash_height][None, :]   # (NB, V)
 
-    # Lane-block -> sx membership (static numpy bools).
-    sx_of_lane = np.minimum(np.arange(w_pad) // cfg.bin_size,
-                            cfg.hash_width - 1)
-    lane_sx = np.zeros((NL, cfg.hash_width), bool)
-    for lb in range(NL):
-        lane_sx[lb, np.unique(sx_of_lane[lb * lane_block:(lb + 1) * lane_block])] = True
-    lane_sx = jnp.asarray(lane_sx)
-
-    # (NL, SY, V): reach restricted to the lane block's sx columns.
-    per_lb_sy = jnp.einsum("ls,syv->lyv", lane_sx.astype(jnp.int32),
-                           per_sxsy.astype(jnp.int32)) > 0
-    bg_reach = per_sxsy[:, cfg.hash_height].any(axis=0)           # (V,)
-
-    # (NB, NL, V): row band reach OR background reach.
-    reach = per_lb_sy[:, block_sy].transpose(1, 0, 2) | bg_reach[None, None, :]
-
-    rel = cands.valid[None, None, :] & reach[:, :, cands.bin]     # (NB, NL, M)
-    rel = rel.reshape(NB * NL, -1)
+    rel = cands.valid[None, :] & reach[:, cands.bin]              # (NB, M)
     counts = rel.sum(axis=1)
     overflow = (counts > max_per_block).any() | cands.overflow
     order = jnp.argsort(~rel, axis=1, stable=True)[:, :max_per_block]
@@ -143,12 +122,11 @@ def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
     step, blowing the 1 MB budget); box corners / entity ids live in VMEM
     and are read with scalar loads.
     """
-    bi = pl.program_id(0)
-    bj = pl.program_id(1)
-    n = counts_ref[bi * pl.num_programs(1) + bj]
+    block = pl.program_id(0)
+    n = counts_ref[block]
     R = rows
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, w_pad), 1) + bj * w_pad
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, w_pad), 1)
     ox = lane.astype(jnp.float32)
     oy = oy_ref[...]
     oz = oz_ref[...]
@@ -245,7 +223,7 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     member_words = pack_member_words(member)
     n_words = member_words.shape[1]
     t_row, t_bg = lane_member_tables(member_words, cfg, tables, R, w_pad)
-    lists, tile_counts, _overflow = block_candidate_lists(
+    lists, blk_counts, _overflow = block_candidate_lists(
         cands, member, R, cfg, tables, cands.bin.shape[0])
 
     M = cands.bin.shape[0]
@@ -258,46 +236,42 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
         jnp.where(cands.valid, cands.ent, -(10 ** 9))[:, None],
         (M, 8)).astype(jnp.int32)
 
-    LB = 128                         # lane-block width (one grid column)
-    NL = w_pad // LB
-    kernel = functools.partial(_shadow_kernel, w_pad=LB, rows=R,
+    kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
                                n_words=n_words, n_sz=SZ)
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
 
-    def pix():
-        return pl.BlockSpec((R, LB), lambda i, j, *_: (i, j),
+    def pix(i=0):
+        return pl.BlockSpec((R, w_pad), lambda i_, *_: (i_, 0),
                             memory_space=pltpu.VMEM)
 
-    # SMEM operands are buffered per grid step: whole tables must not ride
-    # scalar prefetch, but a *blocked* SMEM spec only buffers its 4 KB
-    # block — the per-tile pruned candidate lists use that.  Box/entity
-    # parameter tables live in VMEM (scalar loads).
+    # SMEM operands are buffered per grid step (40 x their size): whole
+    # tables must not ride scalar prefetch, but a *blocked* SMEM spec only
+    # buffers its 4 KB block — the per-block pruned candidate list uses
+    # that.  Box/entity parameter tables live in VMEM (scalar loads).
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,          # per-tile counts, cbin
-        grid=(NB, NL),
+        num_scalar_prefetch=2,          # per-block counts, cbin
+        grid=(NB,),
         in_specs=[
-            pl.BlockSpec((1, M // 128, 128),
-                         lambda i, j, *_: (i * NL + j, 0, 0),
+            pl.BlockSpec((1, M // 128, 128), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.SMEM),    # pruned index lists
-            pl.BlockSpec(box.shape, lambda i, j, *_: (0, 0),
+            pl.BlockSpec(box.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),    # box corners
-            pl.BlockSpec(centi.shape, lambda i, j, *_: (0, 0),
+            pl.BlockSpec(centi.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),    # candidate entity ids
-            pl.BlockSpec((1, SZ * n_words, LB), lambda i, j, *_: (i, 0, j),
+            pl.BlockSpec((1, SZ * n_words, w_pad), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),    # t_row
-            pl.BlockSpec((n_words, LB), lambda i, j, *_: (0, j),
-                         memory_space=pltpu.VMEM),    # t_bg
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # t_bg (full)
             pix(), pix(), pix(), pix(), pix(), pix(), pix(), pix(),
         ],
-        out_specs=pl.BlockSpec((R, LB), lambda i, j, *_: (i, j),
+        out_specs=pl.BlockSpec((R, w_pad), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_words + 1, R, LB), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((n_words + 1, R, w_pad), jnp.uint32)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, w_pad), jnp.int32),
         interpret=interpret,
-    )(tile_counts, cbin, lists.reshape(-1, M // 128, 128), box, centi,
+    )(blk_counts, cbin, lists.reshape(-1, M // 128, 128), box, centi,
       t_row, t_bg,
       szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)
