@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import RenderConfig, DEFAULT_CONFIG
+from ..config import RenderConfig
 from .cstyle import c_div
 
 

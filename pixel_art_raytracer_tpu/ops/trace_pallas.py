@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from .trace import GBufferArrays, materialize_gbuffer
+from .trace import GBufferArrays
 
 # Sentinel below any real key (real keys are >= -2^29 for sane scenes).
 KEY_MIN = -(2 ** 30)

@@ -107,3 +107,33 @@ class TestFullFastPipeline:
         frame = np.asarray(r.render(ds, light.as_array()))
         img_p, _ = oracle.render_frame(scene, light)
         np.testing.assert_array_equal(frame, img_p)
+
+
+class TestBenchPath:
+    def test_static_bins_plus_kernels_match_oracle(self):
+        """The exact configuration bench.py runs (static-bin cache + Pallas
+        trace + Pallas shadow) must match the oracle frame-for-frame."""
+        import jax.numpy as jnp
+
+        from pixel_art_raytracer_tpu import oracle
+        from pixel_art_raytracer_tpu.models.animation import AnimationRenderer
+        from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
+        from pixel_art_raytracer_tpu.scene import Light
+
+        scene = demo_world(8)
+        r = DeferredRenderer(DEFAULT_CONFIG, shadow_impl="pallas",
+                             trace_impl="auto")
+        r.configure_for(scene)
+        cache = StaticBins(scene.pos, scene.ext, 1, DEFAULT_CONFIG, r.spans)
+        anim = AnimationRenderer(r, DEFAULT_CONFIG, static_bins=cache)
+        ds = DeviceScene.from_scene(scene)
+        players = np.stack([scene.pos[0], scene.pos[0] + (5, 0, 0)]).astype(np.int32)
+        lights = np.asarray([[480, 160, 80], [250, 50, 150]], np.int32)
+        frames = np.asarray(anim.render_states(ds, jnp.asarray(players),
+                                               jnp.asarray(lights)))
+        for k in range(2):
+            import dataclasses
+            sc = dataclasses.replace(scene, pos=scene.pos.copy())
+            sc.pos[0] = players[k]
+            img_p, _ = oracle.render_frame(sc, Light(*map(int, lights[k])))
+            np.testing.assert_array_equal(frames[k], img_p, err_msg=f"frame {k}")
