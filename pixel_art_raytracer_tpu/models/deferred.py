@@ -88,16 +88,20 @@ class DeferredRenderer:
         # 'reference': continuous brightness scale (parity); 'dithered':
         # ordered-dither re-quantisation onto the palette (config-4 style).
         self.style = style
-        # Host-side two-band normal decomposition for the Pallas epilogue's
-        # select-chain fast path; set via configure_for(scene).
+        # Host-side two-band normal decomposition and color-rect
+        # decomposition for the Pallas epilogue's select-chain fast paths;
+        # set via configure_for(scene).
         self.normal_bands = None
+        self.color_rects = None
 
     def configure_for(self, scene: Scene) -> "DeferredRenderer":
-        """Derive per-scene static parameters (bin spans, normal bands)."""
-        from ..ops.trace_pallas import normal_bands
+        """Derive per-scene static parameters (bin spans, normal bands,
+        color-map rectangle decomposition)."""
+        from ..ops.trace_pallas import normal_bands, color_rects
 
         self.spans = self.spans_for(scene)
         self.normal_bands = normal_bands(np.asarray(scene.atlas.normal))
+        self.color_rects = color_rects(np.asarray(scene.atlas.color))
         return self
 
     def spans_for(self, scene: Scene) -> tuple[int, int, int]:
@@ -122,7 +126,8 @@ class DeferredRenderer:
                 dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
                 dscene.atlas_depth, dscene.atlas_normal, dscene.palette,
                 bins_ent, counts, self.config,
-                (dscene.depth_d0, dscene.depth_slope), self.normal_bands)
+                (dscene.depth_d0, dscene.depth_slope), self.normal_bands,
+                self.color_rects)
         return trace.trace_pixels(dscene.pos, dscene.ext, dscene.sprite_id,
                                   dscene.atlas_color, dscene.atlas_depth,
                                   dscene.atlas_normal, dscene.palette,

@@ -85,6 +85,42 @@ def normal_bands(normal: np.ndarray):
     return splits, top.astype(np.float32), fronts
 
 
+def color_rects(color: np.ndarray, max_rects: int = 32):
+    """Decompose sprite color-index maps into uniform rectangles.
+
+    Pixel-art palette maps are blocky: the shipped tile is 14 rectangles.
+    Returns a list of (sprite, r0, r1, c0, c1, value) — zero-valued rects
+    omitted (the select chain starts from 0) — or None when the
+    decomposition exceeds ``max_rects`` (fall back to the texel gather).
+    """
+    S, H, W = color.shape
+    rects = []
+    for s in range(S):
+        open_runs: dict = {}
+        for r in range(H + 1):
+            runs = set()
+            if r < H:
+                row = color[s, r]
+                c = 0
+                while c < W:
+                    c1 = c
+                    while c1 < W and row[c1] == row[c]:
+                        c1 += 1
+                    runs.add((c, c1, int(row[c])))
+                    c = c1
+            for run in list(open_runs):
+                if run not in runs:
+                    r0 = open_runs.pop(run)
+                    if run[2] != 0:
+                        rects.append((s, r0, r, run[0], run[1], run[2]))
+            for run in runs:
+                if run not in open_runs:
+                    open_runs[run] = r
+        if len(rects) > max_rects:
+            return None
+    return rects
+
+
 def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
                    config: RenderConfig, w_pad: int):
     """Build lane-expanded candidate field tables.
@@ -275,12 +311,15 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
 def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
                         atlas_normal, palette, bins_ent, counts,
                         config: RenderConfig,
-                        depth_params, bands=None) -> GBufferArrays:
+                        depth_params, bands=None,
+                        rects=None) -> GBufferArrays:
     """Drop-in replacement for ops.trace.trace_pixels on ramp-depth atlases.
 
     ``depth_params``: (d0, slope) arrays from ``ramp_depth_params``.
     ``bands``: host-side result of ``normal_bands`` (or None) — two-band
     atlases resolve normals with select chains instead of gathers.
+    ``rects``: host-side result of ``color_rects`` (or None) — blocky color
+    maps resolve palette indices with select chains instead of a gather.
     """
     cfg = config
     H, W = cfg.view_height, cfg.view_width
@@ -303,7 +342,15 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
     texel = ((jnp.where(hit, sid, 0) * cfg.sprite_height
               + jnp.clip(row, 0, cfg.sprite_height - 1))
              * cfg.sprite_width + jnp.clip(col, 0, cfg.sprite_width - 1))
-    cidx = atlas_color.reshape(-1)[texel]
+    if rects is not None:
+        # Rect-decomposed color map: select chain, no per-pixel gather.
+        cidx = jnp.zeros((H, W), jnp.int32)
+        for (s, r0, r1, c0, c1, value) in rects:
+            in_rect = ((sid == s) & (row >= r0) & (row < r1)
+                       & (col >= c0) & (col < c1))
+            cidx = jnp.where(in_rect, value, cidx)
+    else:
+        cidx = atlas_color.reshape(-1)[texel]
 
     # Palette resolve as a select chain — palettes are tiny and selects beat
     # a per-pixel gather by ~1 ms/frame on TPU.
