@@ -96,7 +96,11 @@ class DeferredRenderer:
 
     def configure_for(self, scene: Scene) -> "DeferredRenderer":
         """Derive per-scene static parameters (bin spans, normal bands,
-        color-map rectangle decomposition)."""
+        color-map rectangle decomposition).
+
+        Call BEFORE the first render: the jitted entry points key their
+        trace cache on the renderer's identity, so attribute changes after
+        a compile are not picked up for already-traced shapes."""
         from ..ops.trace_pallas import normal_bands, color_rects
 
         self.spans = self.spans_for(scene)
