@@ -118,9 +118,13 @@ class DeferredRenderer:
                                   self.spans)
 
     def trace(self, dscene: DeviceScene, bins_ent, counts) -> GBufferArrays:
+        # The kernel processes 8-row blocks that must sit inside one bin row:
+        # bin_size and view_height must divide by 8.
+        kernel_ok = (self.config.bin_size % 8 == 0
+                     and self.config.view_height % 8 == 0)
         use_pallas = (self.trace_impl == "pallas"
                       or (self.trace_impl == "auto"
-                          and dscene.depth_d0 is not None))
+                          and dscene.depth_d0 is not None and kernel_ok))
         if use_pallas:
             from ..ops import trace_pallas
 

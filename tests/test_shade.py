@@ -93,3 +93,24 @@ class TestOverlay:
         assert tuple(img[30, 50]) == (255, 0, 0)
         # out-of-bounds endpoints must not crash
         oracle.draw_line(img, -20, -20, 500, 340, (0, 255, 0))
+
+
+class TestDeviceOverlay:
+    def test_matches_host_bresenham(self):
+        import jax
+        import jax.numpy as jnp
+        from pixel_art_raytracer_tpu.ops.overlay import draw_line as jline
+
+        rng = np.random.default_rng(7)
+        f = jax.jit(jline)
+        for _ in range(12):
+            x0, x1 = rng.integers(-30, 510, 2)
+            y0, y1 = rng.integers(-30, 350, 2)
+            host = np.zeros((320, 480, 3), np.uint8)
+            oracle.draw_line(host, int(x0), int(y0), int(x1), int(y1),
+                             (255, 0, 0))
+            dev = np.asarray(f(jnp.zeros((320, 480, 3), jnp.uint8),
+                               int(x0), int(y0), int(x1), int(y1),
+                               jnp.asarray([255, 0, 0], jnp.uint8)))
+            np.testing.assert_array_equal(
+                dev, host, err_msg=f"({x0},{y0})->({x1},{y1})")
