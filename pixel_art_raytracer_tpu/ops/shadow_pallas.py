@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -70,6 +71,62 @@ def block_candidate_lists(cands: Candidates, member, rows_per_block: int,
     overflow = (counts > max_per_block).any() | cands.overflow
     order = jnp.argsort(~rel, axis=1, stable=True)[:, :max_per_block]
     return order.astype(jnp.int32), counts.astype(jnp.int32), overflow
+
+
+def used_block_relevance(member, szidx, bg, config: RenderConfig,
+                         tables: ShadowTables, rows_per_block: int):
+    """Exact per-block bin relevance from the frame's *actual* start bins.
+
+    ``block_candidate_lists`` prunes by which starts are reachable; this
+    prunes by which starts this frame's pixels actually occupy: a block's
+    relevance is the OR of membership rows over the (sx, sz | background)
+    start combinations present among its pixels.  Dropping a bin with no
+    present start is exact — every pixel's membership bit for it is zero.
+
+    Returns rel: (NB, V) bool.
+    """
+    cfg = config
+    W, H = cfg.view_width, cfg.view_height
+    R = rows_per_block
+    NB = H // R
+    SX = cfg.hash_width
+    SY = cfg.hash_height + 1
+    SZ = tables.sz_hi - tables.sz_lo
+
+    sz = szidx[:, :W]
+    isbg = (bg[:, :W] > 0)
+
+    lane_sx = np.minimum(np.arange(W) // cfg.bin_size, SX - 1)
+    lane_ind = jnp.asarray(np.eye(SX, dtype=np.int32)[lane_sx])   # (W, SX)
+
+    oh = ((sz[..., None] == jnp.arange(SZ, dtype=jnp.int32))
+          & ~isbg[..., None]).astype(jnp.int32)                   # (H, W, SZ)
+    pres = jnp.einsum("hws,wx->hxs", oh, lane_ind)
+    pres = (pres.reshape(NB, R, SX, SZ).sum(axis=1) > 0)          # (NB, SX, SZ)
+    presbg = jnp.einsum("hw,wx->hx", isbg.astype(jnp.int32), lane_ind)
+    presbg = (presbg.reshape(NB, R, SX).sum(axis=1) > 0)          # (NB, SX)
+
+    m = member.reshape(SX, SY, SZ, -1)
+    block_sy = (jnp.arange(NB) * R) // cfg.bin_size
+    mrows = jnp.moveaxis(m[:, block_sy], 1, 0)                    # (NB, SX, SZ, V)
+    rel = jnp.einsum("bxs,bxsv->bv", pres.astype(jnp.int32),
+                     mrows.astype(jnp.int32)) > 0
+
+    from .cstyle import c_div
+
+    sy_bg = min(int(c_div(cfg.view_height, cfg.bin_size)), SY - 1)
+    mbg = m[:, sy_bg, -tables.sz_lo]                              # (SX, V)
+    rel = rel | (jnp.einsum("bx,xv->bv", presbg.astype(jnp.int32),
+                            mbg.astype(jnp.int32)) > 0)
+    return rel
+
+
+def candidate_lists_from_relevance(cands: Candidates, rel):
+    """Compact candidate index lists from an (NB, V) relevance map."""
+    relc = cands.valid[None, :] & rel[:, cands.bin]               # (NB, M)
+    counts = relc.sum(axis=1).astype(jnp.int32)
+    order = jnp.argsort(~relc, axis=1, stable=True)
+    return order.astype(jnp.int32), counts
 
 
 def lane_member_tables(member_words, config: RenderConfig,
@@ -223,8 +280,8 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     member_words = pack_member_words(member)
     n_words = member_words.shape[1]
     t_row, t_bg = lane_member_tables(member_words, cfg, tables, R, w_pad)
-    lists, blk_counts, _overflow = block_candidate_lists(
-        cands, member, R, cfg, tables, cands.bin.shape[0])
+    rel = used_block_relevance(member, szidx, bg, cfg, tables, R)
+    lists, blk_counts = candidate_lists_from_relevance(cands, rel)
 
     M = cands.bin.shape[0]
     assert M % 8 == 0
