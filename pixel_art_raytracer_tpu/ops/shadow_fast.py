@@ -106,30 +106,40 @@ def dda_membership(light_bin, config: RenderConfig, tables: ShadowTables):
 
     P = sx.shape[0]
 
-    def body(carry, t):
-        tx, ty, tz = carry
-        phase, axx, axy, axz = _phase_axes(t)
-        cx = tx + jnp.where(axx, stx, 0.0)
-        cy = ty + jnp.where(axy, sty, 0.0)
-        cz = tz + jnp.where(axz, stz, 0.0)
-        advance = phase == 6
-        tx = jnp.where(advance, cx, tx)
-        ty = jnp.where(advance, cy, ty)
-        tz = jnp.where(advance, cz, tz)
+    # The serial DDA's only sequential dependence is the anchor accumulation
+    # (temp += step at phase 6, alternative.cpp:460-466): unroll those
+    # max_steps f32 adds exactly, then evaluate all 7 phase probes of every
+    # cycle densely — no lax.scan (sequential small-array scans are
+    # overhead-bound on TPU).
+    ax, ay, az = fx, fy, fz
+    anchors = []
+    for _ in range(tables.max_steps):
+        anchors.append((ax, ay, az))
+        ax = ax + stx
+        ay = ay + sty
+        az = az + stz
+    K = tables.max_steps
+    Axs = jnp.stack([a[0] for a in anchors])       # (K, P)
+    Ays = jnp.stack([a[1] for a in anchors])
+    Azs = jnp.stack([a[2] for a in anchors])
 
-        active = t < 7 * n_steps
-        bx = cx.astype(jnp.int32)
-        by = cy.astype(jnp.int32)
-        bz = cz.astype(jnp.int32)
-        flat = (bx * cfg.hash_height + by) * cfg.hash_length + bz
-        ok = active & (flat >= 0) & (flat < V) & (flat != start_flat)
-        return (tx, ty, tz), jnp.where(ok, flat, V)
+    # Phase probes: (7, K, P).  Iteration 7k+p is active iff k < n_steps.
+    offs = jnp.asarray(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [1, 0, 1], [0, 1, 1],
+         [1, 1, 1]], f32)
+    cx = Axs[None] + offs[:, 0][:, None, None] * stx[None, None]
+    cy = Ays[None] + offs[:, 1][:, None, None] * sty[None, None]
+    cz = Azs[None] + offs[:, 2][:, None, None] * stz[None, None]
+    bx = cx.astype(jnp.int32)
+    by = cy.astype(jnp.int32)
+    bz = cz.astype(jnp.int32)
+    flat = (bx * cfg.hash_height + by) * cfg.hash_length + bz
+    active = (jnp.arange(K, dtype=jnp.int32)[None, :, None]
+              < n_steps[None, None, :])
+    ok = active & (flat >= 0) & (flat < V) & (flat != start_flat[None, None])
+    flats = jnp.where(ok, flat, V).reshape(7 * K, P)
 
-    _, flats = jax.lax.scan(
-        body, (fx, fy, fz),
-        jnp.arange(7 * tables.max_steps, dtype=jnp.int32))
-    # flats: (steps, P) tested flat ids (V = none).  Dense one-hot OR beats a
-    # scatter on TPU at these sizes.
+    # Dense one-hot OR beats a scatter on TPU at these sizes.
     bins = jnp.arange(V, dtype=jnp.int32)[None, :]
     member = jnp.zeros((P, V), bool)
     for t0 in range(0, flats.shape[0], 14):
