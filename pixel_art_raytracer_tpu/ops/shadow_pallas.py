@@ -124,23 +124,13 @@ def used_block_relevance(member, szidx, bg, config: RenderConfig,
 def candidate_lists_from_relevance(cands: Candidates, rel):
     """Compact candidate index lists from an (NB, V) relevance map.
 
-    Cumsum + scatter (stable, unique targets) — cheaper than a per-row sort.
-    Unused tail entries point at the last candidate slot: re-testing any
-    candidate is idempotent (occlusion is an OR) and padded candidates hit
-    the always-zero bitmap word, so chunk overruns past ``count`` no-op.
+    Per-row stable argsort (a cumsum+scatter variant measured slower on
+    TPU — cumsum is a sequential scan there).
     """
-    NB = rel.shape[0]
-    M = cands.bin.shape[0]
     relc = cands.valid[None, :] & rel[:, cands.bin]               # (NB, M)
-    pos = jnp.cumsum(relc, axis=1) - 1
-    counts = (pos[:, -1] + 1).astype(jnp.int32)
-    m_idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None], (NB, M))
-    lists = jnp.full((NB, M), M - 1, jnp.int32)
-    b_idx = jnp.broadcast_to(jnp.arange(NB, dtype=jnp.int32)[:, None],
-                             (NB, M))
-    lists = lists.at[jnp.where(relc, b_idx, NB),
-                     jnp.where(relc, pos, 0)].set(m_idx, mode="drop")
-    return lists, counts
+    counts = relc.sum(axis=1).astype(jnp.int32)
+    order = jnp.argsort(~relc, axis=1, stable=True)
+    return order.astype(jnp.int32), counts
 
 
 def lane_member_tables(member_words, config: RenderConfig,
