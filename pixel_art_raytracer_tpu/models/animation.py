@@ -72,13 +72,18 @@ class AnimationRenderer:
 
     def __init__(self, renderer: DeferredRenderer | None = None,
                  config: RenderConfig = DEFAULT_CONFIG,
-                 static_bins=None):
+                 static_bins=None, frames_per_step: int = 4):
         """``static_bins``: an ops.static_bins.StaticBins cache for the
         scene's static tail; when given, per-frame binning merges only the
-        dynamic entities (bit-identical tables, far cheaper)."""
+        dynamic entities (bit-identical tables, far cheaper).
+
+        ``frames_per_step``: frames vmapped inside each scan step — scan
+        iterations carry a fixed overhead on TPU, so grouping amortises it
+        (memory scales with the group size)."""
         self.renderer = renderer or DeferredRenderer(config)
         self.config = self.renderer.config
         self.static_bins = static_bins
+        self.frames_per_step = frames_per_step
         self._render_states_jit = jax.jit(self._render_states)
 
     def render_states(self, dscene: DeviceScene, player_pos: jax.Array,
@@ -105,16 +110,25 @@ class AnimationRenderer:
     def _render_states(self, dscene, player_pos, lights):
         cfg = self.config
         H, W = cfg.view_height, cfg.view_width
+        F = player_pos.shape[0]
+        G = self.frames_per_step
+        while F % G:
+            G -= 1
 
-        def body(_, pl):
-            player, light = pl
+        def one(player, light):
             frame = self._frame(dscene, player, light)
             # Flatten (W, 3) so the scan-stacked uint8 buffer has a dense
             # minor dimension — TPU tiling would pad a minor dim of 3 to
             # 128 (a 42x memory and bandwidth blowup).
-            return None, frame.reshape(H, W * 3)
+            return frame.reshape(H, W * 3)
 
-        _, frames = jax.lax.scan(body, None, (player_pos, lights))
+        def body(_, pl):
+            player, light = pl
+            return None, jax.vmap(one)(player, light)
+
+        _, frames = jax.lax.scan(
+            body, None, (player_pos.reshape(F // G, G, 3),
+                         lights.reshape(F // G, G, 3)))
         return frames.reshape(-1, H, W, 3)
 
     # -- scripted sweeps ---------------------------------------------------
