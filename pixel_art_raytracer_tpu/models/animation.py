@@ -123,6 +123,13 @@ class AnimationRenderer:
             # 128 (a 42x memory and bandwidth blowup).
             return frame.reshape(H, W * 3)
 
+        if G == 1:
+            def body(_, pl):
+                return None, one(*pl)
+
+            _, frames = jax.lax.scan(body, None, (player_pos, lights))
+            return frames.reshape(-1, H, W, 3)
+
         def body(_, pl):
             player, light = pl
             return None, jax.vmap(one)(player, light)
