@@ -174,8 +174,8 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
     return lanes
 
 
-def _trace_kernel(tab_ref, flags_ref, key_ref, ent_ref, sdep_ref, pz_ref,
-                  rb_ref, px_ref, sid_ref, mkey_scr, empty_scr, *, config,
+def _trace_kernel(tab_ref, key_ref, ent_ref, sdep_ref, pz_ref, rb_ref,
+                  px_ref, sid_ref, mkey_scr, empty_scr, *, config,
                   rows_per_block: int, n_cands: int, nc2: int, w_pad: int):
     cfg = config
     cap = cfg.bin_capacity
@@ -183,9 +183,21 @@ def _trace_kernel(tab_ref, flags_ref, key_ref, ent_ref, sdep_ref, pz_ref,
     H = cfg.view_height
     R = rows_per_block
 
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (cap, w_pad), 1)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 1)
+    cand_i = jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 0)
 
     valid = tab_ref[0, 0]
+    f0 = tab_ref[1, 0]
+    f1 = tab_ref[2, 0]
+    f2 = tab_ref[3, 0]
+    f3 = tab_ref[4, 0]
+    f4 = tab_ref[5, 0]
+    f5 = tab_ref[6, 0]
+    f6 = tab_ref[7, 0]
+    f7 = tab_ref[8, 0]
+    fent = tab_ref[9, 0]
+    fpz = tab_ref[10, 0]
+    fsid = tab_ref[11, 0]
 
     # Per-bin empty masks (jr-independent): row b holds bin b's emptiness.
     for b in range(HL):
@@ -195,37 +207,26 @@ def _trace_kernel(tab_ref, flags_ref, key_ref, ent_ref, sdep_ref, pz_ref,
 
     block = pl.program_id(0)
     j0 = block * R
-    biny = (block * R) // cfg.bin_size
 
-    def fld(i, b):
-        return tab_ref[i, 0, b * cap:(b + 1) * cap, :]
-
-    def cand_keys_bin(jr, b):
-        """Keys (and sdep) of bin b's slot candidates for screen row j0+jr."""
+    def cand_keys(jr):
+        """Per-candidate keys (and sdep) for screen row j0+jr."""
         world_j = H - (j0 + jr)
-        f3 = fld(4, b)
         row = f3 - world_j
-        hit = ((fld(0, b) > 0)
-               & (lane_i >= fld(1, b)) & (lane_i < fld(2, b))
-               & (world_j > fld(3, b)) & (world_j <= f3))
-        sdep = jnp.maximum(0, fld(7, b) - fld(8, b) * row)
-        depth = fld(5, b) + jnp.minimum(0, fld(6, b) - row) - sdep
-        cand = jax.lax.broadcasted_iota(jnp.int32, (cap, w_pad), 0) + b * cap
-        key = jnp.where(hit, depth * nc2 + (nc2 - 1 - cand),
+        hit = ((valid > 0)
+               & (lane_i >= f0) & (lane_i < f1)
+               & (world_j > f2) & (world_j <= f3))
+        sdep = jnp.maximum(0, f6 - f7 * row)
+        depth = f4 + jnp.minimum(0, f5 - row) - sdep
+        key = jnp.where(hit, depth * nc2 + (nc2 - 1 - cand_i),
                         jnp.int32(KEY_MIN))
         return key, sdep
 
-    # Phase 1: per-(bin, jr) key maxima.  Bins with no entity anywhere in
-    # this block's bin row (flag 0) skip the candidate math entirely —
-    # typically over half of them.
-    mkey_scr[:] = jnp.full((HL * R, w_pad), jnp.int32(KEY_MIN), jnp.int32)
-    for b in range(HL):
-        @pl.when(flags_ref[biny, b] > 0)
-        def _(b=b):
-            for jr in range(R):
-                key, _ = cand_keys_bin(jr, b)
-                mkey_scr[b * R + jr:b * R + jr + 1] = jnp.max(
-                    key, axis=0, keepdims=True)
+    # Phase 1: per-row candidate keys -> per-(bin, jr) maxima.
+    for jr in range(R):
+        key, _ = cand_keys(jr)
+        for b in range(HL):
+            mkey_scr[b * R + jr:b * R + jr + 1] = jnp.max(
+                key[b * cap:(b + 1) * cap], axis=0, keepdims=True)
 
     # Phase 2: early-exit scan over bins (quirk Q5), all jr rows at once.
     total = jnp.full((R, w_pad), jnp.int32(KEY_MIN), jnp.int32)
@@ -247,39 +248,26 @@ def _trace_kernel(tab_ref, flags_ref, key_ref, ent_ref, sdep_ref, pz_ref,
 
     # Phase 3: winner-field resolve (keys are unique, so a masked max over
     # candidates recovers each winner attribute) — saves the epilogue a
-    # per-pixel gather per attribute.  Accumulates per active bin.
-    for ref in (ent_ref, sdep_ref, pz_ref, rb_ref, px_ref, sid_ref):
-        ref[:] = jnp.full((R, w_pad), jnp.int32(KEY_MIN), jnp.int32)
-    for b in range(HL):
-        @pl.when(flags_ref[biny, b] > 0)
-        def _(b=b):
-            for jr in range(R):
-                key, sdep = cand_keys_bin(jr, b)
-                match = key == total[jr:jr + 1, :]   # at most one true
+    # per-pixel gather per attribute.
+    for jr in range(R):
+        key, sdep = cand_keys(jr)
+        match = key == total[jr:jr + 1, :]      # at most one candidate true
 
-                def pick(field):
-                    return jnp.max(
-                        jnp.where(match, field, jnp.int32(KEY_MIN)),
-                        axis=0, keepdims=True)
+        def pick(field):
+            return jnp.max(jnp.where(match, field, jnp.int32(KEY_MIN)),
+                           axis=0, keepdims=True)
 
-                for ref, field in ((ent_ref, fld(9, b)),
-                                   (sdep_ref, sdep),
-                                   (pz_ref, fld(10, b)),
-                                   (rb_ref, fld(4, b)),
-                                   (px_ref, fld(1, b)),
-                                   (sid_ref, fld(11, b))):
-                    ref[jr:jr + 1, :] = jnp.maximum(ref[jr:jr + 1, :],
-                                                    pick(field))
+        ent_ref[jr:jr + 1, :] = pick(fent)
+        sdep_ref[jr:jr + 1, :] = pick(sdep)
+        pz_ref[jr:jr + 1, :] = pick(fpz)
+        rb_ref[jr:jr + 1, :] = pick(f3)
+        px_ref[jr:jr + 1, :] = pick(f0)
+        sid_ref[jr:jr + 1, :] = pick(fsid)
 
 
-def trace_keys_pallas(tables: jax.Array, flags: jax.Array,
-                      config: RenderConfig,
+def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
                       rows_per_block: int = 8, w_pad: int | None = None):
-    """Run the kernel; returns per-pixel winning keys (H, w_pad) int32.
-
-    ``flags``: (hash_height, hash_length) int32 — nonzero where any bin in
-    that (bin-row, bin-z) slice holds an entity (enables per-bin skips).
-    """
+    """Run the kernel; returns per-pixel winning keys (H, w_pad) int32."""
     cfg = config
     H = cfg.view_height
     if w_pad is None:
@@ -307,20 +295,17 @@ def trace_keys_pallas(tables: jax.Array, flags: jax.Array,
         kernel,
         grid=grid,
         interpret=interpret,
-        in_specs=[
-            pl.BlockSpec(
-                (tables.shape[0], 1, n_cands, w_pad),
-                lambda i: (0, (i * R) // bs, 0, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bin-row flags
-        ],
+        in_specs=[pl.BlockSpec(
+            (tables.shape[0], 1, n_cands, w_pad),
+            lambda i: (0, (i * R) // bs, 0, 0),
+            memory_space=pltpu.VMEM)],
         out_specs=(spec,) * 7,
         out_shape=(out,) * 7,
         scratch_shapes=[
             pltpu.VMEM((cfg.hash_length * R, w_pad), jnp.int32),
             pltpu.VMEM((cfg.hash_length, w_pad), jnp.int32),
         ],
-    )(tables, flags)
+    )(tables)
 
 
 def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
@@ -342,10 +327,8 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
     w_pad = -(-W // 128) * 128
     tables = _expand_tables(pos, ext, sprite_id, jnp.asarray(d0),
                             jnp.asarray(slope), bins_ent, counts, cfg, w_pad)
-    flags = (counts.reshape(cfg.hash_width, cfg.hash_height, cfg.hash_length)
-             > 0).any(axis=0).astype(jnp.int32)
     keys, ent, sdep, pz, rowbase, posx, sid = (
-        a[:, :W] for a in trace_keys_pallas(tables, flags, cfg))
+        a[:, :W] for a in trace_keys_pallas(tables, cfg))
 
     # Winner attributes come straight from the kernel; only the per-texel
     # color/normal maps still need gathers.

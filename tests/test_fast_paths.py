@@ -120,7 +120,7 @@ class TestBenchPath:
         from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
         from pixel_art_raytracer_tpu.scene import Light
 
-        scene = demo_world(8)
+        scene = demo_world(5)
         r = DeferredRenderer(DEFAULT_CONFIG, shadow_impl="pallas",
                              trace_impl="auto")
         r.configure_for(scene)

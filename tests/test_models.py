@@ -109,7 +109,7 @@ class TestInverse:
         true_light = jnp.asarray([70.0, 60.0, 10.0], jnp.float32)
         target = fitter.soft_frame(ds, true_light)[None]
         light, history = fitter.fit(ds, target, np.array([20.0, 20.0, 40.0]),
-                                    steps=40)
+                                    steps=25)
         assert history[-1] < history[0]
         g = jax.grad(fitter.loss)(jnp.asarray([20.0, 20.0, 40.0]), ds,
                                   target[0])
