@@ -93,6 +93,10 @@ class DeferredRenderer:
         # set via configure_for(scene).
         self.normal_bands = None
         self.color_rects = None
+        # Set once the jitted pipeline has traced with this renderer as a
+        # static argument; configure_for() refuses to mutate after that
+        # (the compile cache would silently keep the stale parameters).
+        self._traced = False
 
     def configure_for(self, scene: Scene) -> "DeferredRenderer":
         """Derive per-scene static parameters (bin spans, normal bands,
@@ -100,12 +104,34 @@ class DeferredRenderer:
 
         Call BEFORE the first render: the jitted entry points key their
         trace cache on the renderer's identity, so attribute changes after
-        a compile are not picked up for already-traced shapes."""
+        a compile are not picked up for already-traced shapes.  Calling it
+        after a render raises unless the derived parameters are unchanged."""
         from ..ops.trace_pallas import normal_bands, color_rects
 
-        self.spans = self.spans_for(scene)
-        self.normal_bands = normal_bands(np.asarray(scene.atlas.normal))
-        self.color_rects = color_rects(np.asarray(scene.atlas.color))
+        spans = self.spans_for(scene)
+        bands = normal_bands(np.asarray(scene.atlas.normal))
+        rects = color_rects(np.asarray(scene.atlas.color))
+
+        def same(a, b):
+            if (a is None) != (b is None):
+                return False
+            flat_a, tree_a = jax.tree_util.tree_flatten((a is not None, a))
+            flat_b, tree_b = jax.tree_util.tree_flatten((b is not None, b))
+            return (tree_a == tree_b and len(flat_a) == len(flat_b)
+                    and all(np.array_equal(x, y)
+                            for x, y in zip(flat_a, flat_b)))
+
+        if self._traced and not (spans == self.spans
+                                 and same(bands, self.normal_bands)
+                                 and same(rects, self.color_rects)):
+            raise RuntimeError(
+                "configure_for() after a render would be silently ignored: "
+                "the jitted pipeline already compiled with the old "
+                "spans/normal_bands/color_rects. Create a fresh "
+                "DeferredRenderer (or call configure_for before rendering).")
+        self.spans = spans
+        self.normal_bands = bands
+        self.color_rects = rects
         return self
 
     def spans_for(self, scene: Scene) -> tuple[int, int, int]:
@@ -118,6 +144,7 @@ class DeferredRenderer:
                                   self.spans)
 
     def trace(self, dscene: DeviceScene, bins_ent, counts) -> GBufferArrays:
+        self._traced = True  # runs at jit-trace time; locks configure_for
         # The kernel processes 8-row blocks that must sit inside one bin row:
         # bin_size and view_height must divide by 8.
         kernel_ok = (self.config.bin_size % 8 == 0

@@ -46,19 +46,60 @@ class RenderStats:
         })
 
 
+def _materialize(out) -> None:
+    """Pull every array leaf of ``out`` to host (np.asarray).
+
+    A host transfer is the only completion signal that is reliable through
+    remote-tunnel backends, where ``block_until_ready`` can return before
+    execution actually finishes.
+    """
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf)
+
+
+def checksummed(fn):
+    """Wrap ``fn`` so each array output reduces to one scalar *inside* the
+    same jitted program.
+
+    Timing the wrapper pays the full cost of computing every output element
+    (sums cannot be dead-code-eliminated) while only scalars cross the
+    host link — the canonical remote-safe timing pattern (a slow tunnel's
+    bulk bandwidth is not part of the device work being measured).
+    """
+    import jax.numpy as jnp
+
+    def _sum(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.integer):
+            return jnp.sum(leaf, dtype=jnp.int32)
+        return jnp.sum(leaf)
+
+    @jax.jit
+    def wrapped(*args):
+        return [_sum(leaf) for leaf in jax.tree_util.tree_leaves(fn(*args))]
+
+    return wrapped
+
+
 def time_fn(fn, *args, warmup: int = 1, iters: int = 3):
     """Time a device function: returns (best_seconds_per_call, last_output).
 
-    Blocks on device completion via block_until_ready; the warmup calls
-    absorb compilation.
+    Completion is observed by materialising every output leaf to host —
+    NOT via ``block_until_ready``, which can return early through remote
+    tunnels.  Large outputs would then time the host transfer too; wrap
+    the function with :func:`checksummed` so only scalars cross the link.
+    The warmup calls absorb compilation.
     """
     out = None
     for _ in range(max(warmup, 1)):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+        _materialize(out)
     best = float("inf")
     for _ in range(max(iters, 1)):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+        _materialize(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
 
