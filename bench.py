@@ -6,7 +6,20 @@ shadow rays — rendered as a jit-compiled animation batch with a moving light,
 exactly what the reference's interactive loop computes per frame
 (alternative.cpp:628-817).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Honesty: the timed program *delivers frames* — the lax.scan stacks every
+(H, W, 3) uint8 frame into HBM, and the per-frame checksum that timing pulls
+to host is a second pass over that stacked buffer, outside the scan, so XLA
+cannot fuse the reduction into the render and skip materialisation.  (The
+reference's only perf instrumentation times a fully presented frame,
+alternative.cpp:815-817.)  A fused-checksum variant is also measured and
+reported as an extra field for comparison with kernels-only cost.
+
+Robustness: the batch runs at three light orbits — scene centre and two
+grid-edge positions (DDA corridors lengthen near the edge, making shadow
+cost light-position dependent).  The headline is the median orbit; the
+worst is reported alongside.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` compares against the single-threaded C++ oracle renderer
 measured on this host — the reference implementation publishes no numbers
 (BASELINE.md), so its own architecture re-run here is the baseline.
@@ -36,6 +49,21 @@ def measure_cpp_baseline(scene, light, config) -> float:
     return rays / best / 1e6
 
 
+def time_runs(fn, *args, iters: int = 3) -> float:
+    """Best-of-iters wall time; completion observed by materialising the
+    (tiny) output to host — block_until_ready can return early through
+    remote-TPU tunnels."""
+    out = fn(*args)
+    _ = np.asarray(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -45,12 +73,10 @@ def main() -> None:
     from pixel_art_raytracer_tpu.models.deferred import (DeferredRenderer,
                                                          DeviceScene)
     from pixel_art_raytracer_tpu.models.animation import AnimationRenderer
+    from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
+    from pixel_art_raytracer_tpu.ops import shadow_fast
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-
-    from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
-
-    from pixel_art_raytracer_tpu.ops import shadow_fast
 
     scene = graybox_world(config)
     light = default_light(config)
@@ -62,43 +88,69 @@ def main() -> None:
     anim = AnimationRenderer(renderer, config, static_bins=cache)
     dscene = DeviceScene.from_scene(scene, config)
 
-    players, lights = anim.light_sweep_states(
-        n_frames, scene.pos[0], center=(light.x, light.y, light.z), radius=40)
+    # Three light orbits: scene centre plus two grid-edge cases (edge
+    # positions lengthen shadow-DDA corridors; the sweep keeps the headline
+    # honest about light-position dependence).
+    orbits = {
+        "center": (light.x, light.y, light.z),
+        "edge_x": (20, light.y, light.z),
+        "edge_z": (light.x, light.y, 280),
+    }
+    sweeps = {
+        name: anim.light_sweep_states(n_frames, scene.pos[0], center=c,
+                                      radius=40)
+        for name, c in orbits.items()
+    }
 
-    # One dispatch: render the batch (frames are real outputs, materialised
-    # in HBM) plus a per-frame checksum.  Timing pulls only the checksum to
-    # host: that forces completion (block_until_ready can return early
-    # through remote-TPU tunnels) without timing the tunnel's ~25 MB/s bulk
-    # bandwidth, which is not part of rendering.
+    H, W = config.view_height, config.view_width
+
     @jax.jit
-    def run(dscene, players, lights):
+    def run_delivered(dscene, players, lights):
+        # Frames are scan-stacked into HBM; the checksum is a second pass
+        # over the stacked buffer (outside the scan), so the render cannot
+        # fuse away materialisation.  Only (F,) int32 crosses the tunnel.
         frames = anim._render_states(dscene, players, lights)
-        # frames are scan-stacked into HBM inside the program; returning
-        # only the checksum avoids remote output-handle overhead that is
-        # not part of rendering.
-        return frames.sum(axis=(1, 2, 3), dtype=jnp.int32)
+        return frames.reshape(frames.shape[0], -1).sum(axis=1,
+                                                       dtype=jnp.int32)
 
-    cs = run(dscene, players, lights)
-    _ = np.asarray(cs)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cs = run(dscene, players, lights)
-        _ = np.asarray(cs)
-        best = min(best, time.perf_counter() - t0)
+    @jax.jit
+    def run_fused(dscene, players, lights):
+        # Comparison variant: checksums fused inside the scan body
+        # (kernels-only cost; stacking to HBM is elided).
+        def body(_, pl):
+            p, l = pl
+            frame = anim._frame(dscene, p, l)
+            return None, frame.sum(dtype=jnp.int32)
 
-    rays = 2 * config.view_width * config.view_height * n_frames
-    mrays = rays / best / 1e6
+        _, cs = jax.lax.scan(body, None, (players, lights))
+        return cs
+
+    rays = 2 * W * H * n_frames
+    delivered = {}
+    for name, (players, lights) in sweeps.items():
+        best = time_runs(run_delivered, dscene, players, lights)
+        delivered[name] = rays / best / 1e6
+    fused_center = rays / time_runs(run_fused, dscene,
+                                    *sweeps["center"]) / 1e6
+
+    vals = sorted(delivered.values())
+    median = vals[len(vals) // 2]
+    worst = vals[0]
     baseline = measure_cpp_baseline(scene, light, config)
 
     print(json.dumps({
-        "metric": "full-pipeline throughput (graybox 480x320, primary+shadow)",
-        "value": round(mrays, 2),
+        "metric": "full-pipeline throughput, frames delivered "
+                  "(graybox 480x320, primary+shadow, median of 3 light"
+                  " orbits)",
+        "value": round(median, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / baseline, 2),
+        "vs_baseline": round(median / baseline, 2),
+        "worst_orbit": round(worst, 2),
+        "per_orbit": {k: round(v, 2) for k, v in delivered.items()},
+        "checksum_fused_center": round(fused_center, 2),
+        "frames": n_frames,
+        "baseline_cpp_mrays": round(baseline, 2),
     }))
-    # sanity: checksums materialised for every frame
-    assert np.asarray(cs).shape == (n_frames,)
 
 
 if __name__ == "__main__":

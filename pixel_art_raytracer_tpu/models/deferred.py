@@ -74,7 +74,7 @@ class DeferredRenderer:
                  spans: tuple[int, int, int] | None = None,
                  shadow_max_steps: int = 16, shadow_impl: str = "fast",
                  shadow_tables=None, trace_impl: str = "auto",
-                 style: str = "reference"):
+                 style: str = "reference", shadow_guard: str = "fallback"):
         self.config = config
         # Static per-entity bin-span bound; (2, 3, 2) covers any scene whose
         # extents stay within one bin (the reference world is all 20-cubes).
@@ -82,6 +82,10 @@ class DeferredRenderer:
         self.shadow_max_steps = shadow_max_steps
         self.shadow_impl = shadow_impl
         self.shadow_tables = shadow_tables
+        # 'fallback': validate the shadow tables' static bounds per frame on
+        # device and reroute to the exact dynamic march when exceeded;
+        # 'none' for vmapped contexts (cond lowers to both-branches there).
+        self.shadow_guard = shadow_guard
         # 'pallas': gather-free TPU kernel (requires a ramp-depth atlas);
         # 'jnp': candidate-scan tracer; 'auto': pallas when the scene allows.
         self.trace_impl = trace_impl
@@ -173,7 +177,8 @@ class DeferredRenderer:
         return shade_ops.shade(dscene.pos, dscene.ext, gbuf, bins_ent, counts,
                                light, self.config, self.shadow_max_steps,
                                self.shadow_impl, self.shadow_tables,
-                               self.style, dscene.palette[:, :3])
+                               self.style, dscene.palette[:, :3],
+                               self.shadow_guard)
 
     # -- whole-frame entry points ------------------------------------------
 

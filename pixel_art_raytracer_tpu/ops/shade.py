@@ -22,16 +22,19 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
           bins_ent: jax.Array, counts: jax.Array, light: jax.Array,
           config: RenderConfig, max_steps: int = 16,
           shadow_impl: str = "scan", shadow_tables=None,
-          style: str = "reference", palette_rgb=None) -> jax.Array:
+          style: str = "reference", palette_rgb=None,
+          guard: str = "fallback") -> jax.Array:
     """Light the G-buffer; returns the (H, W, 3) uint8 frame.
 
     ``light`` is an (3,) int32 array (x, y, z) — traced, so animated lights
     don't retrigger compilation.  ``shadow_impl`` selects the per-pixel DDA
     scan ('scan', the direct transcription), the table-driven candidate scan
     ('fast'), or the Pallas kernel ('pallas') — all pixel-identical.
+    ``guard`` controls the silent-wrongness runtime guard (see
+    :func:`lighting_factor`).
     """
     factor = lighting_factor(pos, ext, gbuf, bins_ent, counts, light, config,
-                             max_steps, shadow_impl, shadow_tables)
+                             max_steps, shadow_impl, shadow_tables, guard)
     if style == "dithered":
         from .dither import shade_dithered
 
@@ -42,11 +45,23 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
 
 def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
                     config: RenderConfig, max_steps: int = 16,
-                    shadow_impl: str = "scan", shadow_tables=None
-                    ) -> jax.Array:
+                    shadow_impl: str = "scan", shadow_tables=None,
+                    guard: str = "fallback") -> jax.Array:
     """Per-pixel brightness factor: ambient where the light is occluded,
     min(1, Lambert + ambient) where reachable.  The scalar core of the
-    lighting loop (alternative.cpp:702-760)."""
+    lighting loop (alternative.cpp:702-760).
+
+    ``guard``: every production shadow path carries static bounds that a
+    hostile frame can exceed — the DDA step bound ``max_steps`` (a far
+    light needs more steps, alternative.cpp:423-432 computes the bound per
+    ray), the fast paths' candidate capacity, and their start-bin z table
+    range.  With ``guard="fallback"`` (default) the frame checks those
+    bounds on device and a single ``lax.cond`` reroutes the whole frame to
+    the exact dynamically-bounded march (shadow.trace_light_dynamic) when
+    any is exceeded — occluders are never silently dropped.  ``"none"``
+    skips the check (for callers that prove the bounds statically, or
+    vmapped contexts where cond lowers to executing both branches).
+    """
     cfg = config
     H, W = cfg.view_height, cfg.view_width
     f32 = jnp.float32
@@ -82,6 +97,23 @@ def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
     lbz = c_div(lz, bs)
 
     origin = (wx.astype(f32), wy.astype(f32), wz.astype(f32))
+
+    def needed_steps():
+        """max over rays of int(largest_bin_distance) — the per-ray DDA
+        bound the reference computes (alternative.cpp:423-432)."""
+        ddx = lbx.astype(f32) - rbx.astype(f32)
+        ddy = lby.astype(f32) - rby.astype(f32)
+        ddz = lbz.astype(f32) - rbz.astype(f32)
+        largest = c_max(c_max(jnp.abs(ddx), jnp.abs(ddy)), jnp.abs(ddz))
+        return jnp.max(largest.astype(jnp.int32))
+
+    def dynamic_fallback():
+        from .shadow import trace_light_dynamic
+
+        return trace_light_dynamic(pos, ext, bins_ent, counts,
+                                   (rbx, rby, rbz), (lbx, lby, lbz),
+                                   gbuf.entity_index, origin, inv, cfg)
+
     if shadow_impl in ("fast", "pallas"):
         from . import shadow_fast
 
@@ -90,36 +122,58 @@ def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
         member = shadow_fast.dda_membership((lbx, lby, lbz), cfg, tables)
         cands = shadow_fast.build_candidates(pos, ext, bins_ent, counts,
                                              member, cfg, tables)
-        if shadow_impl == "pallas":
-            from . import shadow_pallas
 
-            w_pad = -(-W // 128) * 128
-            pad = w_pad - W
+        def fast_lit():
+            if shadow_impl == "pallas":
+                from . import shadow_pallas
 
-            def padw(a):
-                return jnp.pad(a, ((0, 0), (0, pad)))
+                w_pad = -(-W // 128) * 128
+                pad = w_pad - W
 
-            SZ = tables.sz_hi - tables.sz_lo
-            szidx = jnp.clip(rbz - tables.sz_lo, 0, SZ - 1)
-            # Background pixels (zero G-buffer y/z, quirk Q6) use the
-            # aliased background start row; wy+wz == world_j >= 1 for hits.
-            bg = ((wy + wz) == 0).astype(jnp.int32)
-            lit_pad = shadow_pallas.trace_light_pallas(
-                member, padw(szidx), padw(bg), padw(gbuf.entity_index),
-                padw(origin[1]), padw(origin[2]),
-                padw(inv[0]), padw(inv[1]), padw(inv[2]),
-                cands, cfg, tables)
-            lit = lit_pad[:, :W] > 0
-        else:
+                def padw(a):
+                    return jnp.pad(a, ((0, 0), (0, pad)))
+
+                SZ = tables.sz_hi - tables.sz_lo
+                szidx = jnp.clip(rbz - tables.sz_lo, 0, SZ - 1)
+                # Background pixels (zero G-buffer y/z, quirk Q6) use the
+                # aliased background start row; wy+wz == world_j >= 1 for
+                # hits.
+                bg = ((wy + wz) == 0).astype(jnp.int32)
+                lit_pad = shadow_pallas.trace_light_pallas(
+                    member, padw(szidx), padw(bg), padw(gbuf.entity_index),
+                    padw(origin[1]), padw(origin[2]),
+                    padw(inv[0]), padw(inv[1]), padw(inv[2]),
+                    cands, cfg, tables)
+                return lit_pad[:, :W] > 0
             bitmap = shadow_fast.pixel_bitmap(member, rbx, rby, rbz, cfg,
                                               tables)
-            lit = shadow_fast.trace_light_fast(None, bitmap,
-                                               gbuf.entity_index,
-                                               origin, inv, cands, cfg)
+            return shadow_fast.trace_light_fast(None, bitmap,
+                                                gbuf.entity_index,
+                                                origin, inv, cands, cfg)
+
+        if guard == "fallback":
+            # Static-bound validation on device: candidate capacity, DDA
+            # step bound, and start-bin z table range.  Any violation
+            # reroutes the frame to the exact dynamic march.
+            sz_ok = jnp.all((rbz >= tables.sz_lo) & (rbz < tables.sz_hi))
+            ok = (~cands.overflow & sz_ok
+                  & (needed_steps() <= tables.max_steps))
+            lit = jax.lax.cond(ok, fast_lit, dynamic_fallback)
+        else:
+            lit = fast_lit()
     else:
-        lit = trace_light(pos, ext, bins_ent, counts, (rbx, rby, rbz),
-                          (lbx, lby, lbz), gbuf.entity_index,
-                          origin, inv, cfg, max_steps)
+        if guard == "fallback":
+            lit = jax.lax.cond(
+                needed_steps() <= max_steps,
+                lambda: trace_light(pos, ext, bins_ent, counts,
+                                    (rbx, rby, rbz), (lbx, lby, lbz),
+                                    gbuf.entity_index, origin, inv, cfg,
+                                    max_steps),
+                dynamic_fallback)
+        else:
+            lit = trace_light(pos, ext, bins_ent, counts, (rbx, rby, rbz),
+                              (lbx, lby, lbz), gbuf.entity_index,
+                              origin, inv, cfg, max_steps)
 
     n = gbuf.normal
     dot = n[..., 0] * tlx + n[..., 1] * tly + n[..., 2] * tlz
