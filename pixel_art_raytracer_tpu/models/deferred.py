@@ -97,6 +97,9 @@ class DeferredRenderer:
         # set via configure_for(scene).
         self.normal_bands = None
         self.color_rects = None
+        # Piecewise-ramp depth segments (configure_for): lets the Pallas
+        # tracer handle any column-constant depth atlas, not just ramps.
+        self.depth_segments = None
         # Set once the jitted pipeline has traced with this renderer as a
         # static argument; configure_for() refuses to mutate after that
         # (the compile cache would silently keep the stale parameters).
@@ -110,11 +113,13 @@ class DeferredRenderer:
         trace cache on the renderer's identity, so attribute changes after
         a compile are not picked up for already-traced shapes.  Calling it
         after a render raises unless the derived parameters are unchanged."""
-        from ..ops.trace_pallas import normal_bands, color_rects
+        from ..ops.trace_pallas import (normal_bands, color_rects,
+                                        depth_segments)
 
         spans = self.spans_for(scene)
         bands = normal_bands(np.asarray(scene.atlas.normal))
         rects = color_rects(np.asarray(scene.atlas.color))
+        segs = depth_segments(np.asarray(scene.atlas.depth))
 
         def same(a, b):
             if (a is None) != (b is None):
@@ -126,6 +131,7 @@ class DeferredRenderer:
                             for x, y in zip(flat_a, flat_b)))
 
         if self._traced and not (spans == self.spans
+                                 and segs == self.depth_segments
                                  and same(bands, self.normal_bands)
                                  and same(rects, self.color_rects)):
             raise RuntimeError(
@@ -136,6 +142,7 @@ class DeferredRenderer:
         self.spans = spans
         self.normal_bands = bands
         self.color_rects = rects
+        self.depth_segments = segs
         return self
 
     def spans_for(self, scene: Scene) -> tuple[int, int, int]:
@@ -153,20 +160,25 @@ class DeferredRenderer:
         # bin_size and view_height must divide by 8.
         kernel_ok = (self.config.bin_size % 8 == 0
                      and self.config.view_height % 8 == 0)
+        depth_ok = (dscene.depth_d0 is not None
+                    or self.depth_segments is not None)
         use_pallas = (self.trace_impl == "pallas"
                       or (self.trace_impl == "auto"
-                          and dscene.depth_d0 is not None and kernel_ok))
+                          and depth_ok and kernel_ok))
         if use_pallas:
             from ..ops import trace_pallas
 
-            assert dscene.depth_d0 is not None, \
-                "pallas tracer needs a ramp-depth atlas"
+            assert depth_ok, ("pallas tracer needs a ramp-depth atlas or "
+                              "depth segments (configure_for a "
+                              "column-constant atlas)")
+            params = (None if dscene.depth_d0 is None
+                      else (dscene.depth_d0, dscene.depth_slope))
             return trace_pallas.trace_pixels_pallas(
                 dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
                 dscene.atlas_depth, dscene.atlas_normal, dscene.palette,
                 bins_ent, counts, self.config,
-                (dscene.depth_d0, dscene.depth_slope), self.normal_bands,
-                self.color_rects)
+                params, self.normal_bands,
+                self.color_rects, self.depth_segments)
         return trace.trace_pixels(dscene.pos, dscene.ext, dscene.sprite_id,
                                   dscene.atlas_color, dscene.atlas_depth,
                                   dscene.atlas_normal, dscene.palette,

@@ -62,6 +62,41 @@ def ramp_depth_params(depth: np.ndarray):
     return d0.astype(np.int32), slope.astype(np.int32)
 
 
+def depth_segments(depth: np.ndarray, max_segments: int = 64):
+    """Fit piecewise ramps to row-constant depth maps.
+
+    Generalises :func:`ramp_depth_params`: any sprite whose depth map is
+    constant along columns decomposes into row segments where
+    ``depth[r] == d0 - slope * (r - r0)`` — the kernel then resolves sprite
+    depth with a select chain over segments instead of a texel gather
+    (the reference's one true gather, alternative.cpp:336-341).
+
+    Returns a tuple of (sprite, r0, r1, d0, slope) or None when some sprite
+    is not column-constant or the total segment count exceeds
+    ``max_segments`` (the jnp tracer then handles the atlas).
+    """
+    S, H, _ = depth.shape
+    if not bool((depth == depth[:, :, :1]).all()):
+        return None
+    segs = []
+    for s in range(S):
+        d = depth[s, :, 0].astype(np.int64)
+        r0 = 0
+        while r0 < H:
+            if r0 + 1 == H:
+                segs.append((s, r0, H, int(d[r0]), 0))
+                break
+            slope = int(d[r0] - d[r0 + 1])
+            r1 = r0 + 1
+            while r1 < H and d[r1] == d[r0] - slope * (r1 - r0):
+                r1 += 1
+            segs.append((s, r0, r1, int(d[r0]), slope))
+            r0 = r1
+        if len(segs) > max_segments:
+            return None
+    return tuple(segs)
+
+
 def normal_bands(normal: np.ndarray):
     """Detect two-band row-split normal maps: rows [0, split) share one
     normal, rows [split, H) another (the shipped tile: top face (0,1,0),
@@ -176,7 +211,8 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
 
 def _trace_kernel(tab_ref, key_ref, ent_ref, sdep_ref, pz_ref, rb_ref,
                   px_ref, sid_ref, mkey_scr, empty_scr, *, config,
-                  rows_per_block: int, n_cands: int, nc2: int, w_pad: int):
+                  rows_per_block: int, n_cands: int, nc2: int, w_pad: int,
+                  segments=None):
     cfg = config
     cap = cfg.bin_capacity
     HL = cfg.hash_length
@@ -215,7 +251,15 @@ def _trace_kernel(tab_ref, key_ref, ent_ref, sdep_ref, pz_ref, rb_ref,
         hit = ((valid > 0)
                & (lane_i >= f0) & (lane_i < f1)
                & (world_j > f2) & (world_j <= f3))
-        sdep = jnp.maximum(0, f6 - f7 * row)
+        if segments is None:
+            sdep = jnp.maximum(0, f6 - f7 * row)
+        else:
+            # Piecewise-ramp depth: select chain over (sprite, row-range)
+            # segments — no gather (alternative.cpp:336-341's depth fetch).
+            sdep = jnp.zeros_like(row)
+            for (s, r0, r1, d0k, slopek) in segments:
+                inseg = (fsid == s) & (row >= r0) & (row < r1)
+                sdep = jnp.where(inseg, d0k - slopek * (row - r0), sdep)
         depth = f4 + jnp.minimum(0, f5 - row) - sdep
         key = jnp.where(hit, depth * nc2 + (nc2 - 1 - cand_i),
                         jnp.int32(KEY_MIN))
@@ -266,7 +310,8 @@ def _trace_kernel(tab_ref, key_ref, ent_ref, sdep_ref, pz_ref, rb_ref,
 
 
 def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
-                      rows_per_block: int = 8, w_pad: int | None = None):
+                      rows_per_block: int = 8, w_pad: int | None = None,
+                      segments=None):
     """Run the kernel; returns per-pixel winning keys (H, w_pad) int32."""
     cfg = config
     H = cfg.view_height
@@ -284,7 +329,7 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
 
     kernel = functools.partial(_trace_kernel, config=cfg,
                                rows_per_block=R, n_cands=n_cands, nc2=nc2,
-                               w_pad=w_pad)
+                               w_pad=w_pad, segments=segments)
     # Interpreter mode on non-TPU backends (CPU tests validate the kernel
     # logic; compiled Mosaic runs on real TPUs).
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
@@ -312,10 +357,13 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
                         atlas_normal, palette, bins_ent, counts,
                         config: RenderConfig,
                         depth_params, bands=None,
-                        rects=None) -> GBufferArrays:
-    """Drop-in replacement for ops.trace.trace_pixels on ramp-depth atlases.
+                        rects=None, segments=None) -> GBufferArrays:
+    """Drop-in replacement for ops.trace.trace_pixels on atlases whose depth
+    maps are ramps or piecewise ramps (any column-constant map).
 
-    ``depth_params``: (d0, slope) arrays from ``ramp_depth_params``.
+    ``depth_params``: (d0, slope) arrays from ``ramp_depth_params`` — or
+    None when ``segments`` (from ``depth_segments``) drives the in-kernel
+    depth select chain instead.
     ``bands``: host-side result of ``normal_bands`` (or None) — two-band
     atlases resolve normals with select chains instead of gathers.
     ``rects``: host-side result of ``color_rects`` (or None) — blocky color
@@ -323,12 +371,19 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
     """
     cfg = config
     H, W = cfg.view_height, cfg.view_width
-    d0, slope = depth_params
+    assert depth_params is not None or segments is not None
+    if depth_params is not None:
+        d0, slope = depth_params
+        segments = None   # single-ramp arithmetic is cheaper than selects
+    else:
+        S = atlas_color.shape[0]
+        d0 = np.zeros(S, np.int32)
+        slope = np.zeros(S, np.int32)
     w_pad = -(-W // 128) * 128
     tables = _expand_tables(pos, ext, sprite_id, jnp.asarray(d0),
                             jnp.asarray(slope), bins_ent, counts, cfg, w_pad)
     keys, ent, sdep, pz, rowbase, posx, sid = (
-        a[:, :W] for a in trace_keys_pallas(tables, cfg))
+        a[:, :W] for a in trace_keys_pallas(tables, cfg, segments=segments))
 
     # Winner attributes come straight from the kernel; only the per-texel
     # color/normal maps still need gathers.
