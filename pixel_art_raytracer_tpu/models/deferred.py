@@ -154,7 +154,11 @@ class DeferredRenderer:
         return binning.build_bins(dscene.pos, dscene.ext, self.config,
                                   self.spans)
 
-    def trace(self, dscene: DeviceScene, bins_ent, counts) -> GBufferArrays:
+    def trace(self, dscene: DeviceScene, bins_ent, counts, row0=None,
+              n_rows: int | None = None) -> GBufferArrays:
+        """Primary visibility.  ``row0``/``n_rows`` select a screen-row
+        window (row-sharded shards render their own window; defaults cover
+        the full frame)."""
         self._traced = True  # runs at jit-trace time; locks configure_for
         # The kernel processes 8-row blocks that must sit inside one bin row:
         # bin_size and view_height must divide by 8.
@@ -178,19 +182,21 @@ class DeferredRenderer:
                 dscene.atlas_depth, dscene.atlas_normal, dscene.palette,
                 bins_ent, counts, self.config,
                 params, self.normal_bands,
-                self.color_rects, self.depth_segments)
+                self.color_rects, self.depth_segments, row0, n_rows)
+        assert row0 is None and n_rows is None, \
+            "row windows are a Pallas-path feature (jnp shards via GSPMD)"
         return trace.trace_pixels(dscene.pos, dscene.ext, dscene.sprite_id,
                                   dscene.atlas_color, dscene.atlas_depth,
                                   dscene.atlas_normal, dscene.palette,
                                   bins_ent, counts, self.config)
 
     def shade(self, dscene: DeviceScene, gbuf: GBufferArrays, bins_ent,
-              counts, light: jax.Array) -> jax.Array:
+              counts, light: jax.Array, row0=0) -> jax.Array:
         return shade_ops.shade(dscene.pos, dscene.ext, gbuf, bins_ent, counts,
                                light, self.config, self.shadow_max_steps,
                                self.shadow_impl, self.shadow_tables,
                                self.style, dscene.palette[:, :3],
-                               self.shadow_guard)
+                               self.shadow_guard, row0)
 
     # -- whole-frame entry points ------------------------------------------
 

@@ -23,7 +23,7 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
           config: RenderConfig, max_steps: int = 16,
           shadow_impl: str = "scan", shadow_tables=None,
           style: str = "reference", palette_rgb=None,
-          guard: str = "fallback") -> jax.Array:
+          guard: str = "fallback", row0=0) -> jax.Array:
     """Light the G-buffer; returns the (H, W, 3) uint8 frame.
 
     ``light`` is an (3,) int32 array (x, y, z) — traced, so animated lights
@@ -34,7 +34,8 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
     :func:`lighting_factor`).
     """
     factor = lighting_factor(pos, ext, gbuf, bins_ent, counts, light, config,
-                             max_steps, shadow_impl, shadow_tables, guard)
+                             max_steps, shadow_impl, shadow_tables, guard,
+                             row0)
     if style == "dithered":
         from .dither import shade_dithered
 
@@ -46,7 +47,7 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
 def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
                     config: RenderConfig, max_steps: int = 16,
                     shadow_impl: str = "scan", shadow_tables=None,
-                    guard: str = "fallback") -> jax.Array:
+                    guard: str = "fallback", row0=0) -> jax.Array:
     """Per-pixel brightness factor: ambient where the light is occluded,
     min(1, Lambert + ambient) where reachable.  The scalar core of the
     lighting loop (alternative.cpp:702-760).
@@ -63,11 +64,16 @@ def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
     vmapped contexts where cond lowers to executing both branches).
     """
     cfg = config
-    H, W = cfg.view_height, cfg.view_width
+    W = cfg.view_width
     f32 = jnp.float32
     bs = cfg.bin_size
 
-    wx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (H, W))
+    # Row count comes from the G-buffer: row-sharded shards pass a window
+    # of rows (absolute offset row0); world math uses only world-space
+    # coordinates, so the window is transparent except to the shadow
+    # kernel's per-block tables.
+    Hl = gbuf.y.shape[0]
+    wx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (Hl, W))
     wy = gbuf.y
     wz = gbuf.z
 
@@ -143,7 +149,7 @@ def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
                     member, padw(szidx), padw(bg), padw(gbuf.entity_index),
                     padw(origin[1]), padw(origin[2]),
                     padw(inv[0]), padw(inv[1]), padw(inv[2]),
-                    cands, cfg, tables)
+                    cands, cfg, tables, row0=row0)
                 return lit_pad[:, :W] > 0
             bitmap = shadow_fast.pixel_bitmap(member, rbx, rby, rbz, cfg,
                                               tables)

@@ -183,6 +183,19 @@ def build_candidates(pos, ext, bins_ent, counts, member,
     ent = jnp.where(valid, bins_ent.reshape(-1)[flat_idx], 0)
     p = pos[ent].astype(jnp.float32)
     q = (pos[ent] + ext[ent]).astype(jnp.float32)
+    # Pad to a lane multiple: small grids (V*cap < max_candidates) would
+    # otherwise produce a list shorter than the Pallas driver's 128-wide
+    # SMEM blocking.  Padded rows are valid=False (kernels route them at
+    # the always-zero membership word).
+    L = valid.shape[0]
+    Lp = max(128, -(-L // 128) * 128)
+    if Lp != L:
+        pad = Lp - L
+        valid = jnp.pad(valid, (0, pad))
+        ent = jnp.pad(ent, (0, pad))
+        bin_id = jnp.pad(bin_id, (0, pad))
+        p = jnp.pad(p, ((0, pad), (0, 0)))
+        q = jnp.pad(q, ((0, pad), (0, 0)))
     return Candidates(valid=valid, ent=ent, bin=bin_id, pmin=p, pmax=q,
                       overflow=overflow)
 

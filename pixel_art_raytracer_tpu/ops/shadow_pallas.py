@@ -74,7 +74,8 @@ def block_candidate_lists(cands: Candidates, member, rows_per_block: int,
 
 
 def used_block_relevance(member, szidx, bg, config: RenderConfig,
-                         tables: ShadowTables, rows_per_block: int):
+                         tables: ShadowTables, rows_per_block: int,
+                         row0=0):
     """Exact per-block bin relevance from the frame's *actual* start bins.
 
     ``block_candidate_lists`` prunes by which starts are reachable; this
@@ -83,12 +84,13 @@ def used_block_relevance(member, szidx, bg, config: RenderConfig,
     start combinations present among its pixels.  Dropping a bin with no
     present start is exact — every pixel's membership bit for it is zero.
 
-    Returns rel: (NB, V) bool.
+    ``row0``: absolute screen row of szidx/bg's first row (row-sharded
+    windows pass their shard offset).  Returns rel: (NB, V) bool.
     """
     cfg = config
-    W, H = cfg.view_width, cfg.view_height
+    W = cfg.view_width
     R = rows_per_block
-    NB = H // R
+    NB = szidx.shape[0] // R
     SX = cfg.hash_width
     SY = cfg.hash_height + 1
     SZ = tables.sz_hi - tables.sz_lo
@@ -100,14 +102,15 @@ def used_block_relevance(member, szidx, bg, config: RenderConfig,
     lane_ind = jnp.asarray(np.eye(SX, dtype=np.int32)[lane_sx])   # (W, SX)
 
     oh = ((sz[..., None] == jnp.arange(SZ, dtype=jnp.int32))
-          & ~isbg[..., None]).astype(jnp.int32)                   # (H, W, SZ)
+          & ~isbg[..., None]).astype(jnp.int32)                   # (h, W, SZ)
     pres = jnp.einsum("hws,wx->hxs", oh, lane_ind)
     pres = (pres.reshape(NB, R, SX, SZ).sum(axis=1) > 0)          # (NB, SX, SZ)
     presbg = jnp.einsum("hw,wx->hx", isbg.astype(jnp.int32), lane_ind)
     presbg = (presbg.reshape(NB, R, SX).sum(axis=1) > 0)          # (NB, SX)
 
     m = member.reshape(SX, SY, SZ, -1)
-    block_sy = (jnp.arange(NB) * R) // cfg.bin_size
+    block_sy = (jnp.asarray(row0, jnp.int32)
+                + jnp.arange(NB, dtype=jnp.int32) * R) // cfg.bin_size
     mrows = jnp.moveaxis(m[:, block_sy], 1, 0)                    # (NB, SX, SZ, V)
     rel = jnp.einsum("bxs,bxsv->bv", pres.astype(jnp.int32),
                      mrows.astype(jnp.int32)) > 0
@@ -135,10 +138,11 @@ def candidate_lists_from_relevance(cands: Candidates, rel):
 
 def lane_member_tables(member_words, config: RenderConfig,
                        tables: ShadowTables, rows_per_block: int,
-                       w_pad: int):
+                       w_pad: int, row0=0, n_rows: int | None = None):
     """Lane-expanded per-block membership word tables.
 
-    Returns:
+    ``row0``/``n_rows`` select the screen-row window (for row-sharded
+    shards); defaults cover the full frame.  Returns:
       t_row: (NB, SZ * n_words, w_pad) uint32 — words for sy = block row
              band, per sz, expanded over lanes (sx = lane // bin_size).
       t_bg:  (n_words, w_pad) uint32 — words for the background start
@@ -148,10 +152,13 @@ def lane_member_tables(member_words, config: RenderConfig,
     SY = cfg.hash_height + 1
     SZ = tables.sz_hi - tables.sz_lo
     nw = member_words.shape[1]
-    NB = cfg.view_height // rows_per_block
+    NB = (n_rows if n_rows is not None
+          else cfg.view_height) // rows_per_block
 
     m = member_words.reshape(cfg.hash_width, SY, SZ, nw)
-    block_sy = (jnp.arange(NB) * rows_per_block) // cfg.bin_size
+    block_sy = (jnp.asarray(row0, jnp.int32)
+                + jnp.arange(NB, dtype=jnp.int32) * rows_per_block
+                ) // cfg.bin_size
 
     def expand(rows):  # (..., SX, nw) -> (..., nw, w_pad)
         lanes = jnp.repeat(rows, cfg.bin_size, axis=-2)[..., :cfg.view_width, :]
@@ -269,13 +276,14 @@ def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
 
 def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
                        cands: Candidates, config: RenderConfig,
-                       tables: ShadowTables, rows_per_block: int = 8
-                       ) -> jax.Array:
-    """Kernel driver.  Pixel inputs are (H, w_pad)-shaped (szidx is the
-    clamped sz table index, bg marks background pixels).  Returns lit
-    (H, w_pad) int32 (1 = reachable)."""
+                       tables: ShadowTables, rows_per_block: int = 8,
+                       row0=0) -> jax.Array:
+    """Kernel driver.  Pixel inputs are (h, w_pad)-shaped (szidx is the
+    clamped sz table index, bg marks background pixels); ``h`` may be a
+    row-sharded window whose absolute first screen row is ``row0``.
+    Returns lit (h, w_pad) int32 (1 = reachable)."""
     cfg = config
-    H = cfg.view_height
+    H = oy.shape[0]
     w_pad = oy.shape[1]
     R = rows_per_block
     NB = H // R
@@ -283,8 +291,9 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
 
     member_words = pack_member_words(member)
     n_words = member_words.shape[1]
-    t_row, t_bg = lane_member_tables(member_words, cfg, tables, R, w_pad)
-    rel = used_block_relevance(member, szidx, bg, cfg, tables, R)
+    t_row, t_bg = lane_member_tables(member_words, cfg, tables, R, w_pad,
+                                     row0=row0, n_rows=H)
+    rel = used_block_relevance(member, szidx, bg, cfg, tables, R, row0=row0)
     lists, blk_counts = candidate_lists_from_relevance(cands, rel)
 
     M = cands.bin.shape[0]

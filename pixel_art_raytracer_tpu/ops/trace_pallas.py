@@ -209,8 +209,8 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
     return lanes
 
 
-def _trace_kernel(tab_ref, key_ref, ent_ref, sdep_ref, pz_ref, rb_ref,
-                  px_ref, sid_ref, mkey_scr, empty_scr, *, config,
+def _trace_kernel(row0_ref, tab_ref, key_ref, ent_ref, sdep_ref, pz_ref,
+                  rb_ref, px_ref, sid_ref, mkey_scr, empty_scr, *, config,
                   rows_per_block: int, n_cands: int, nc2: int, w_pad: int,
                   segments=None):
     cfg = config
@@ -242,7 +242,7 @@ def _trace_kernel(tab_ref, key_ref, ent_ref, sdep_ref, pz_ref, rb_ref,
         empty_scr[b:b + 1] = 1 - any_valid
 
     block = pl.program_id(0)
-    j0 = block * R
+    j0 = row0_ref[0] + block * R
 
     def cand_keys(jr):
         """Per-candidate keys (and sdep) for screen row j0+jr."""
@@ -311,10 +311,22 @@ def _trace_kernel(tab_ref, key_ref, ent_ref, sdep_ref, pz_ref, rb_ref,
 
 def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
                       rows_per_block: int = 8, w_pad: int | None = None,
-                      segments=None):
-    """Run the kernel; returns per-pixel winning keys (H, w_pad) int32."""
+                      segments=None, row0=None, n_rows: int | None = None):
+    """Run the kernel; returns per-pixel winning keys (n_rows, w_pad) int32.
+
+    ``row0``/``n_rows`` select a screen-row window [row0, row0+n_rows) —
+    the shard_map row-sharding hook (each shard renders its own window
+    with the unchanged kernel).  ``row0`` is traced (it comes from
+    ``jax.lax.axis_index``) and rides scalar prefetch so the per-block
+    table slice can be indexed by absolute bin row; it must be a multiple
+    of ``rows_per_block`` so row blocks stay inside one bin row.
+    """
     cfg = config
-    H = cfg.view_height
+    if n_rows is None:
+        n_rows = cfg.view_height
+    if row0 is None:
+        row0 = 0
+    row0 = jnp.asarray(row0, jnp.int32).reshape(1)
     if w_pad is None:
         w_pad = -(-cfg.view_width // 128) * 128
     n_cands = cfg.hash_length * cfg.bin_capacity
@@ -322,10 +334,9 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     while nc2 < n_cands:
         nc2 *= 2
     R = rows_per_block
-    assert H % R == 0, "view_height must divide by rows_per_block"
+    assert n_rows % R == 0, "row window must divide by rows_per_block"
     bs = cfg.bin_size
     assert bs % R == 0, "rows_per_block must divide bin_size"
-    grid = (H // R,)
 
     kernel = functools.partial(_trace_kernel, config=cfg,
                                rows_per_block=R, n_cands=n_cands, nc2=nc2,
@@ -333,31 +344,36 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     # Interpreter mode on non-TPU backends (CPU tests validate the kernel
     # logic; compiled Mosaic runs on real TPUs).
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
-    out = jax.ShapeDtypeStruct((H, w_pad), jnp.int32)
-    spec = pl.BlockSpec((R, w_pad), lambda i: (i, 0),
+    out = jax.ShapeDtypeStruct((n_rows, w_pad), jnp.int32)
+    spec = pl.BlockSpec((R, w_pad), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        interpret=interpret,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # row0
+        grid=(n_rows // R,),
         in_specs=[pl.BlockSpec(
             (tables.shape[0], 1, n_cands, w_pad),
-            lambda i: (0, (i * R) // bs, 0, 0),
+            lambda i, row0_ref: (0, (row0_ref[0] + i * R) // bs, 0, 0),
             memory_space=pltpu.VMEM)],
         out_specs=(spec,) * 7,
-        out_shape=(out,) * 7,
         scratch_shapes=[
             pltpu.VMEM((cfg.hash_length * R, w_pad), jnp.int32),
             pltpu.VMEM((cfg.hash_length, w_pad), jnp.int32),
         ],
-    )(tables)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=(out,) * 7,
+    )(row0, tables)
 
 
 def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
                         atlas_normal, palette, bins_ent, counts,
                         config: RenderConfig,
                         depth_params, bands=None,
-                        rects=None, segments=None) -> GBufferArrays:
+                        rects=None, segments=None, row0=None,
+                        n_rows: int | None = None) -> GBufferArrays:
     """Drop-in replacement for ops.trace.trace_pixels on atlases whose depth
     maps are ramps or piecewise ramps (any column-constant map).
 
@@ -371,6 +387,8 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
     """
     cfg = config
     H, W = cfg.view_height, cfg.view_width
+    if n_rows is None:
+        n_rows = H
     assert depth_params is not None or segments is not None
     if depth_params is not None:
         d0, slope = depth_params
@@ -383,12 +401,15 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
     tables = _expand_tables(pos, ext, sprite_id, jnp.asarray(d0),
                             jnp.asarray(slope), bins_ent, counts, cfg, w_pad)
     keys, ent, sdep, pz, rowbase, posx, sid = (
-        a[:, :W] for a in trace_keys_pallas(tables, cfg, segments=segments))
+        a[:, :W] for a in trace_keys_pallas(tables, cfg, segments=segments,
+                                            row0=row0, n_rows=n_rows))
 
     # Winner attributes come straight from the kernel; only the per-texel
     # color/normal maps still need gathers.
     hit = keys > KEY_MIN // 2
-    j = jnp.arange(H, dtype=jnp.int32)[:, None]
+    j = jnp.arange(n_rows, dtype=jnp.int32)[:, None]
+    if row0 is not None:
+        j = j + jnp.asarray(row0, jnp.int32)
     i = jnp.arange(W, dtype=jnp.int32)[None, :]
     world_j = jnp.int32(H) - j
 
@@ -399,7 +420,7 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
              * cfg.sprite_width + jnp.clip(col, 0, cfg.sprite_width - 1))
     if rects is not None:
         # Rect-decomposed color map: select chain, no per-pixel gather.
-        cidx = jnp.zeros((H, W), jnp.int32)
+        cidx = jnp.zeros((n_rows, W), jnp.int32)
         for (s, r0, r1, c0, c1, value) in rects:
             in_rect = ((sid == s) & (row >= r0) & (row < r1)
                        & (col >= c0) & (col < c1))
@@ -410,7 +431,7 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
     # Palette resolve as a select chain — palettes are tiny and selects beat
     # a per-pixel gather by ~1 ms/frame on TPU.
     bg = jnp.asarray(cfg.background, jnp.uint8)
-    color = jnp.broadcast_to(bg, (H, W, 4))
+    color = jnp.broadcast_to(bg, (n_rows, W, 4))
     for k in range(palette.shape[0]):
         color = jnp.where((hit & (cidx == k))[..., None], palette[k], color)
 
@@ -418,7 +439,7 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
         # Two-band normals via select chains: no per-pixel gathers.
         splits, tops, fronts = (np.asarray(b) for b in bands)
         S = splits.shape[0]
-        normal = jnp.zeros((H, W, 3), jnp.float32)
+        normal = jnp.zeros((n_rows, W, 3), jnp.float32)
         for k in range(S):
             is_k = hit & (sid == k)
             top_band = (row < int(splits[k]))[..., None]

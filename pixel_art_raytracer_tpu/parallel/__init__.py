@@ -1,7 +1,9 @@
 """Multi-chip scaling via jax.sharding meshes."""
 
-from .mesh import (make_mesh, render_frames_sharded, sharded_train_step,
+from .mesh import (make_mesh, render_frames_sharded,
+                   render_frames_shardmap, sharded_train_step,
                    frame_axis, row_axis)
 
-__all__ = ["make_mesh", "render_frames_sharded", "sharded_train_step",
+__all__ = ["make_mesh", "render_frames_sharded",
+           "render_frames_shardmap", "sharded_train_step",
            "frame_axis", "row_axis"]

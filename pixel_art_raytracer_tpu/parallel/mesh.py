@@ -80,6 +80,59 @@ def render_frames_sharded(anim_renderer, dscene, player_pos, lights,
     return fn(dscene, player_pos, lights)
 
 
+def render_frames_shardmap(anim_renderer, dscene, player_pos, lights,
+                           mesh: Mesh) -> jax.Array:
+    """Render an animation batch with the *Pallas fast path* sharded over
+    (frames, rows) via shard_map.
+
+    GSPMD cannot partition a ``pallas_call``, so the flagship kernels run
+    inside an explicit shard_map: each shard scans its local frames and
+    renders its own row window through the unchanged single-chip kernels
+    (the trace kernel takes the shard's absolute row offset via scalar
+    prefetch; the shadow driver offsets its per-block tables).  Scene
+    arrays and bin tables are replicated — same reasoning that keeps them
+    in VMEM on one chip — so the forward pass needs no collectives.
+
+    Requires: F divisible by the frame axis, and H / row-axis-size a
+    multiple of the bin size (row blocks must stay inside one bin row).
+    Returns (F, H, W, 3) uint8 sharded P(frames, rows).
+    """
+    from jax import shard_map
+
+    cfg = anim_renderer.config
+    H, W = cfg.view_height, cfg.view_width
+    RP = mesh.shape[row_axis]
+    n_rows = H // RP
+    assert n_rows % cfg.bin_size == 0 or RP == 1, \
+        f"rows-per-shard {n_rows} must be a multiple of bin_size"
+    r = anim_renderer.renderer
+    cache = anim_renderer.static_bins
+
+    def shard_fn(ds, players_l, lights_l):
+        row0 = jax.lax.axis_index(row_axis) * n_rows
+
+        def body(_, pl):
+            p, l = pl
+            scene_f = ds._replace(pos=ds.pos.at[0].set(p))
+            if cache is not None:
+                d = cache.n_dynamic
+                be, cnt = cache.merge(scene_f.pos[:d], scene_f.ext[:d])
+            else:
+                be, cnt = r.build_bins(scene_f)
+            gbuf = r.trace(scene_f, be, cnt, row0=row0, n_rows=n_rows)
+            frame = r.shade(scene_f, gbuf, be, cnt, l, row0=row0)
+            return None, frame.reshape(n_rows, W * 3)
+
+        _, frames = jax.lax.scan(body, None, (players_l, lights_l))
+        return frames.reshape(-1, n_rows, W, 3)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P(frame_axis), P(frame_axis)),
+                   out_specs=P(frame_axis, row_axis),
+                   check_vma=False)
+    return jax.jit(fn)(dscene, player_pos, lights)
+
+
 def sharded_train_step(fitter, light, opt_state, dscene, targets,
                        mesh: Mesh):
     """One data-parallel inverse-rendering step over a sharded target batch.

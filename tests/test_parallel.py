@@ -12,6 +12,7 @@ from pixel_art_raytracer_tpu.models.animation import AnimationRenderer
 from pixel_art_raytracer_tpu.models.inverse import InverseLightFitter
 from pixel_art_raytracer_tpu.parallel import (make_mesh,
                                               render_frames_sharded,
+                                              render_frames_shardmap,
                                               sharded_train_step)
 
 SMALL = RenderConfig(view_width=80, view_height=80, view_length=80)
@@ -56,6 +57,29 @@ class TestShardedRender:
         mesh = make_mesh(8)
         assert mesh.axis_names == ("frames", "rows")
         assert mesh.devices.shape[0] * mesh.devices.shape[1] == 8
+
+    def test_shardmap_fast_path_matches(self):
+        """The flagship Pallas kernels (trace + shadow) sharded over a
+        (4 frames x 2 rows) mesh via shard_map: equal to single-device."""
+        from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
+
+        scene = small_scene()
+        r = DeferredRenderer(SMALL, shadow_max_steps=8,
+                             shadow_impl="pallas", trace_impl="pallas")
+        r.configure_for(scene)
+        cache = StaticBins(scene.pos, scene.ext, 1, SMALL, r.spans)
+        anim = AnimationRenderer(r, SMALL, static_bins=cache)
+        ds = DeviceScene.from_scene(scene, SMALL)
+        players = jnp.broadcast_to(jnp.asarray(scene.pos[0], jnp.int32),
+                                   (8, 3))
+        lights = jnp.asarray(np.stack([40 + 4 * np.arange(8),
+                                       np.full(8, 60), np.full(8, 20)], 1),
+                             jnp.int32)
+        mesh = make_mesh(8, frame_parallel=4)   # rows axis 2: 40-row shards
+        sharded = render_frames_shardmap(anim, ds, players, lights, mesh)
+        unsharded = anim.render_states(ds, players, lights)
+        np.testing.assert_array_equal(np.asarray(sharded),
+                                      np.asarray(unsharded))
 
     def test_frame_only_mesh(self):
         _, r, anim, ds, players, lights = setup()

@@ -77,3 +77,58 @@ class TestDebugObservability:
         assert img.shape == (80, 80, 3)
         # top faces (0,1,0): length 1, shifted (1,2,1)/4*255 -> (63,127,63)
         assert (img.reshape(-1, 3) == (63, 127, 63)).all(-1).any()
+
+
+class TestLiveViewer:
+    """Terminal live viewer (runtime/viewer.py) — the reference's
+    interactive present loop (alternative.cpp:604-687, 774-788)."""
+
+    def make(self):
+        from pixel_art_raytracer_tpu.models.deferred import DeferredRenderer
+        from pixel_art_raytracer_tpu.runtime.viewer import LiveViewer
+
+        r = DeferredRenderer(SMALL, shadow_max_steps=8)
+        return LiveViewer(small_scene(), Light(60, 60, 20), SMALL,
+                          renderer=r, scale=2)
+
+    def test_decode_keys(self):
+        from pixel_art_raytracer_tpu.runtime.viewer import decode_keys
+
+        keys, quit_, rest = decode_keys("\x1b[A\x1b[D\x1b[5~ah")
+        assert keys == ["up", "left", "pageup", "a", "h"]
+        assert not quit_ and rest == ""
+        # a bare trailing escape is held as a possible split sequence
+        assert decode_keys("\x1b") == ([], False, "\x1b")
+        assert decode_keys("\x1b[") == ([], False, "\x1b[")
+        assert decode_keys("q")[1]
+        assert decode_keys("\x1b\x1b")[1]      # Esc + non-CSI byte quits
+        # a held partial sequence completed by the next chunk
+        assert decode_keys("\x1b" + "[C")[0] == ["right"]
+
+    def test_ansi_frame_halfblocks(self):
+        from pixel_art_raytracer_tpu.runtime.viewer import ansi_frame
+
+        img = np.zeros((4, 3, 3), np.uint8)
+        img[0, :, 0] = 255                     # top row red
+        text = ansi_frame(img)
+        lines = text.split("\n")
+        assert len(lines) == 2                 # 4 rows -> 2 half-block rows
+        assert "▀" in lines[0]
+        assert "38;2;255;0;0" in lines[0]      # red foreground
+        assert lines[0].endswith("\x1b[0m")
+
+    def test_live_loop_keys_change_frame(self):
+        v = self.make()
+        blits = []
+        inputs = iter(["", "\x1b[C" * 4 + "o" * 4, "", "\x1b"])
+        n = v.run(input_fn=lambda: next(inputs, ""),
+                  output_fn=lambda t: blits.append(t),
+                  max_frames=10)
+        # the bare Esc is held one frame (split-sequence buffering), then
+        # promoted to quit when no continuation bytes arrive
+        assert n == 5
+        assert int(v.state.player_pos[0]) == 50   # 4 x right (+5)
+        assert int(v.state.light[0]) == 60 + 20   # 4 x o (+5)
+        # the blit after movement differs from the first
+        assert blits[1] != blits[2]
+        assert "ms/frame" in blits[-1]
