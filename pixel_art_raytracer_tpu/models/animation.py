@@ -72,20 +72,69 @@ class AnimationRenderer:
 
     def __init__(self, renderer: DeferredRenderer | None = None,
                  config: RenderConfig = DEFAULT_CONFIG,
-                 static_bins=None, frames_per_step: int = 1):
+                 static_bins=None, frames_per_step: int = 1,
+                 batched: bool = True):
         """``static_bins``: an ops.static_bins.StaticBins cache for the
         scene's static tail; when given, per-frame binning merges only the
         dynamic entities (bit-identical tables, far cheaper).
 
-        ``frames_per_step``: frames vmapped inside each scan step.
-        Grouping amortises per-step overhead but vmapped Pallas kernels
-        measured slower on v5e (160 vs 176 Mrays/s at G=4), so the default
-        stays 1."""
+        ``frames_per_step``: frames vmapped inside each scan step (scan
+        path only).  Grouping amortises per-step overhead but vmapped
+        Pallas kernels measured slower on v5e (160 vs 176 Mrays/s at G=4),
+        so the default stays 1.
+
+        ``batched``: render the batch as one phase-decomposed device
+        program (models/batched.py) — both Pallas kernels launch once on a
+        (frames, row_blocks) grid and all XLA prep is frame-batched.
+        Pixel-identical to the scan path and ~2x faster on v5e; requires
+        the Pallas trace + Pallas shadow configuration (other
+        configurations silently use the scan path)."""
         self.renderer = renderer or DeferredRenderer(config)
         self.config = self.renderer.config
         self.static_bins = static_bins
         self.frames_per_step = frames_per_step
+        self.batched = batched
+        # Shadow-kernel rows per block for the batched path (must divide
+        # the bin size and view height and be a sublane multiple; falls
+        # back to 8 otherwise).  Whole-bin-row blocks amortise the
+        # per-candidate scalar loads (190 vs 182 Mrays/s on v5e graybox).
+        self.shadow_rows = 40
+        # Trace-kernel column compaction bound (opt-in via
+        # enable_trace_compaction()): fewer candidate rows, but the per-bin
+        # masked maxima the early-exit bookkeeping then needs measured
+        # SLOWER than the structured full-width kernel on v5e (187 vs 265
+        # Mrays/s on graybox) — default off; a runtime guard reroutes
+        # overflowing frames to the uncompacted kernel either way.
+        self.trace_compact = None
         self._render_states_jit = jax.jit(self._render_states)
+
+    def enable_trace_compaction(self) -> "AnimationRenderer":
+        """Derive the column-compaction bound from the static bin cache:
+        worst-case live candidates per (bin_x, bin_y) column plus the
+        dynamics' z-span margin, rounded to a sublane multiple."""
+        assert self.static_bins is not None, "needs a StaticBins cache"
+        cfg = self.config
+        cap = cfg.bin_capacity
+        counts = np.asarray(self.static_bins.static_total) & (cap - 1)
+        col_max = int(counts.reshape(cfg.hash_width, cfg.hash_height,
+                                     cfg.hash_length).sum(axis=2).max())
+        bound = col_max + self.static_bins.n_dynamic * self.renderer.spans[2]
+        ncc = min(-(-bound // 8) * 8, cfg.hash_length * cap)
+        if ncc < cfg.hash_length * cap:
+            self.trace_compact = ncc
+        return self
+
+    def _batched_capable(self, dscene) -> bool:
+        r = self.renderer
+        cfg = self.config
+        kernel_ok = (cfg.bin_size % 8 == 0 and cfg.view_height % 8 == 0)
+        depth_ok = (dscene.depth_d0 is not None
+                    or r.depth_segments is not None)
+        return (self.batched and r.shadow_impl == "pallas"
+                and r.trace_impl in ("auto", "pallas")
+                and kernel_ok and depth_ok
+                and (self.static_bins is None
+                     or self.static_bins.n_dynamic == 1))
 
     def render_states(self, dscene: DeviceScene, player_pos: jax.Array,
                       lights: jax.Array) -> jax.Array:
@@ -112,6 +161,13 @@ class AnimationRenderer:
         cfg = self.config
         H, W = cfg.view_height, cfg.view_width
         F = player_pos.shape[0]
+        if self._batched_capable(dscene):
+            from .batched import render_states_batched
+
+            return render_states_batched(self.renderer, self.static_bins,
+                                         dscene, player_pos, lights,
+                                         shadow_rows=self.shadow_rows,
+                                         trace_compact=self.trace_compact)
         G = self.frames_per_step
         while F % G:
             G -= 1

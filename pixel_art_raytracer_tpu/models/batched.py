@@ -1,0 +1,186 @@
+"""Whole-batch renderer: every per-frame stage batched over the frame axis.
+
+The scan-based animation loop (models/animation.py) runs each frame's
+pipeline as a separate scan step: the Pallas kernels launch per frame and
+the XLA prep stages (bin merge scatters, membership simulation, candidate
+compaction sorts, table expansion) run as many small ops — which on TPU are
+overhead-bound (a v5e profile put the prep at ~1.4 of the 1.9 ms/frame).
+
+This module restructures the same pipeline as a *phase decomposition* over
+the whole batch:
+
+  1. bins      — vmapped StaticBins.merge: one batched scatter for F frames.
+  2. trace     — ONE Pallas launch on a (F, row_blocks) grid.
+  3. prep      — light geometry, membership words, candidate compaction,
+                 per-block pruned lists: vmapped, so each is one big op
+                 (sorts/scatters parallelise over F x rows).
+  4. shadow    — ONE Pallas launch on a (F, row_blocks) grid.
+  5. shade     — batched elementwise brightness + palette scale.
+
+Every stage reuses the single-frame functions (under ``jax.vmap`` or via
+the kernels' frame-grid axis), so pixel parity with the scan path is
+structural.  The reference's per-frame loop is alternative.cpp:628-817.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..ops import shade as shade_ops
+from ..ops import shadow_fast, shadow_pallas, trace_pallas
+
+
+def _padw(a, w_pad):
+    return jnp.pad(a, ((0, 0), (0, 0), (0, w_pad - a.shape[-1])))
+
+
+def render_states_batched(renderer, static_bins, dscene, players, lights,
+                          shadow_rows: int = 8,
+                          trace_compact: int | None = None) -> jax.Array:
+    """Render F frames as one batched device program.
+
+    ``renderer``: a DeferredRenderer configured for the scene (Pallas trace
+    path and Pallas shadow impl required — AnimationRenderer falls back to
+    the scan path otherwise).  ``static_bins``: StaticBins cache (or None
+    for a vmapped full rebuild).  players/lights: (F, 3) int32.
+    ``shadow_rows``: screen rows per shadow-kernel block (must divide the
+    bin size and the view height; bigger blocks amortise the per-candidate
+    scalar loads).  Returns (F, H, W, 3) uint8, pixel-identical to the
+    scan path.
+    """
+    r = renderer
+    cfg: RenderConfig = r.config
+    H, W = cfg.view_height, cfg.view_width
+    w_pad = -(-W // 128) * 128
+    R = shadow_rows
+    if cfg.bin_size % R or H % R or R % 8:
+        R = 8                       # sublane tiling needs 8 | R
+    F = players.shape[0]
+    f32 = jnp.float32
+
+    tables = r.shadow_tables or shadow_fast.default_tables(
+        cfg, max_steps=r.shadow_max_steps)
+    SZ = tables.sz_hi - tables.sz_lo
+
+    # -- 1. per-frame bin tables (one batched scatter) ----------------------
+    dyn_pos = players[:, None, :]                         # (F, 1, 3)
+    if static_bins is not None:
+        assert static_bins.n_dynamic == 1, \
+            "batched path drives entity 0 (the player); rebuild the cache"
+        dyn_ext = jnp.broadcast_to(dscene.ext[:1], (F, 1, 3))
+        bins_ent, counts = jax.vmap(static_bins.merge)(dyn_pos, dyn_ext)
+    else:
+        from ..ops import binning
+
+        bins_ent, counts = jax.vmap(
+            lambda p: binning.build_bins(dscene.pos.at[0].set(p),
+                                         dscene.ext, cfg, r.spans))(players)
+
+    # -- 2. primary visibility: one kernel launch for the whole batch -------
+    r._traced = True
+    params = (None if dscene.depth_d0 is None
+              else (dscene.depth_d0, dscene.depth_slope))
+    # Column-compaction needs the runtime overflow reroute (a lax.cond),
+    # which vmapped contexts can't afford — require the guard.
+    ncc = trace_compact if r.shadow_guard == "fallback" else None
+    gbuf = trace_pallas.trace_pixels_pallas_batched(
+        dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
+        dscene.atlas_normal, dscene.palette, bins_ent, counts, dyn_pos,
+        cfg, params, r.normal_bands, r.color_rects, r.depth_segments,
+        n_compact=ncc)
+
+    # -- 3. shadow prep, all frames at once ----------------------------------
+    tl, inv, origin, rb, lb = jax.vmap(
+        lambda g, l: shade_ops.light_geometry(g, l, cfg))(gbuf, lights)
+
+    words = jax.vmap(
+        lambda lbf: shadow_fast.dda_membership_words(lbf, cfg, tables))(lb)
+    n_words = words.shape[-1]
+
+    # tested_any per frame from the word OR over starts (no dense member).
+    any_words = jax.lax.reduce(words, jnp.uint32(0), jax.lax.bitwise_or,
+                               (1,))                       # (F, n_words)
+    tested_any = jax.vmap(
+        lambda w: shadow_fast.unpack_member_words(w[None], cfg)[0]
+    )(any_words)                                           # (F, V)
+
+    cands = jax.vmap(
+        lambda be, cnt, ta, dp: shadow_fast.build_candidates(
+            dscene.pos, dscene.ext, be, cnt, None, cfg, tables,
+            tested_any=ta, dyn_pos=dp)
+    )(bins_ent, counts, tested_any, dyn_pos)
+
+    szidx = _padw(jnp.clip(rb[2] - tables.sz_lo, 0, SZ - 1), w_pad)
+    # Background pixels (zero G-buffer y/z, quirk Q6) use the aliased
+    # background start row; wy+wz == world_j >= 1 for hits.
+    bg = _padw(((gbuf.y + gbuf.z) == 0).astype(jnp.int32), w_pad)
+
+    member = jax.vmap(
+        lambda w: shadow_fast.unpack_member_words(w, cfg))(words)
+    rel = jax.vmap(
+        lambda m, s, b: shadow_pallas.used_block_relevance(
+            m, s, b, cfg, tables, R))(member, szidx, bg)
+    lists, blk_counts = jax.vmap(
+        shadow_pallas.candidate_lists_from_relevance)(cands, rel)
+    t_row, t_bg = jax.vmap(
+        lambda w: shadow_pallas.lane_member_tables(w, cfg, tables, R, w_pad)
+    )(words)
+    cbin, box, centi = jax.vmap(
+        lambda c: shadow_pallas.candidate_param_tables(c, n_words))(cands)
+
+    M = cands.bin.shape[1]
+    ent_p = _padw(gbuf.entity_index, w_pad)
+    oy_p, oz_p = _padw(origin[1], w_pad), _padw(origin[2], w_pad)
+    iv_p = tuple(_padw(a, w_pad) for a in inv)
+
+    def fast_lit():
+        lit_pad = shadow_pallas.shadow_call_batched(
+            blk_counts, cbin, lists.reshape(F, -1, M // 128, 128),
+            box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
+            iv_p[0], iv_p[1], iv_p[2], cfg, tables, rows_per_block=R)
+        return lit_pad[:, :, :W] > 0
+
+    if r.shadow_guard == "fallback":
+        # Static-bound validation over the whole batch: any violating frame
+        # reroutes the batch to the exact dynamically-bounded march (shadow
+        # correctness is never silently lost; see ops/shade.py).
+        from ..ops.shadow import trace_light_dynamic
+
+        steps = jax.vmap(shade_ops.max_needed_steps)(rb, lb)
+        sz_ok = jnp.all((rb[2] >= tables.sz_lo) & (rb[2] < tables.sz_hi))
+        ok = (~jnp.any(cands.overflow) & sz_ok
+              & (jnp.max(steps) <= tables.max_steps))
+
+        def slow_lit():
+            def one(args):
+                p, g, rbf, lbf, of, invf = args
+                pos_f = dscene.pos.at[0].set(p)
+                if static_bins is not None:
+                    be, cnt = static_bins.merge(pos_f[:1], dscene.ext[:1])
+                else:
+                    from ..ops import binning
+
+                    be, cnt = binning.build_bins(pos_f, dscene.ext, cfg,
+                                                 r.spans)
+                return trace_light_dynamic(pos_f, dscene.ext, be, cnt,
+                                           rbf, lbf, g, of, invf, cfg)
+
+            return jax.lax.map(
+                one, (players, gbuf.entity_index, rb, lb, origin, inv))
+
+        lit = jax.lax.cond(ok, fast_lit, slow_lit)
+    else:
+        lit = fast_lit()
+
+    # -- 5. shade -------------------------------------------------------------
+    factor = shade_ops.brightness_factor(gbuf.normal, tl, lit, cfg)
+    if r.style == "dithered":
+        from ..ops.dither import shade_dithered
+
+        return jax.vmap(
+            lambda c, fa: shade_dithered(c, fa, dscene.palette[:, :3])
+        )(gbuf.color, factor)
+    rgb = gbuf.color[..., :3].astype(f32) * factor[..., None]
+    return rgb.astype(jnp.uint8)

@@ -44,34 +44,22 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
     return rgb.astype(jnp.uint8)
 
 
-def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
-                    config: RenderConfig, max_steps: int = 16,
-                    shadow_impl: str = "scan", shadow_tables=None,
-                    guard: str = "fallback", row0=0) -> jax.Array:
-    """Per-pixel brightness factor: ambient where the light is occluded,
-    min(1, Lambert + ambient) where reachable.  The scalar core of the
-    lighting loop (alternative.cpp:702-760).
+def light_geometry(gbuf: GBufferArrays, light: jax.Array,
+                   config: RenderConfig):
+    """Per-pixel shadow-ray geometry (alternative.cpp:707-732): L1-normalised
+    towards-light direction, reciprocal direction, ray/light bin coords, and
+    float origin.  Returns (tl, inv, origin, rb, lb) — each a 3-tuple of
+    (h, W) arrays (lb entries are scalars broadcastable over pixels).
 
-    ``guard``: every production shadow path carries static bounds that a
-    hostile frame can exceed — the DDA step bound ``max_steps`` (a far
-    light needs more steps, alternative.cpp:423-432 computes the bound per
-    ray), the fast paths' candidate capacity, and their start-bin z table
-    range.  With ``guard="fallback"`` (default) the frame checks those
-    bounds on device and a single ``lax.cond`` reroutes the whole frame to
-    the exact dynamically-bounded march (shadow.trace_light_dynamic) when
-    any is exceeded — occluders are never silently dropped.  ``"none"``
-    skips the check (for callers that prove the bounds statically, or
-    vmapped contexts where cond lowers to executing both branches).
+    Extracted from :func:`lighting_factor` so batched drivers can vmap it;
+    the op sequence is exactly the reference's (parity-critical: the
+    optimization barrier preserves the 1/(d/len) double rounding).
     """
     cfg = config
     W = cfg.view_width
     f32 = jnp.float32
     bs = cfg.bin_size
 
-    # Row count comes from the G-buffer: row-sharded shards pass a window
-    # of rows (absolute offset row0); world math uses only world-space
-    # coordinates, so the window is transparent except to the shadow
-    # kernel's per-block tables.
     Hl = gbuf.y.shape[0]
     wx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (Hl, W))
     wy = gbuf.y
@@ -95,23 +83,68 @@ def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
            exact_f32_div(one, tlz))
 
     # Bin coordinates (alternative.cpp:724-732), C-truncating division.
-    rbx = c_div(wx, bs)
-    rby = c_div(jnp.int32(cfg.view_height) - wy - wz, bs)
-    rbz = c_div(wz, bs)
-    lbx = c_div(lx, bs)
-    lby = c_div(jnp.int32(cfg.view_height) - ly - lz, bs)
-    lbz = c_div(lz, bs)
+    rb = (c_div(wx, bs),
+          c_div(jnp.int32(cfg.view_height) - wy - wz, bs),
+          c_div(wz, bs))
+    lb = (c_div(lx, bs),
+          c_div(jnp.int32(cfg.view_height) - ly - lz, bs),
+          c_div(lz, bs))
 
     origin = (wx.astype(f32), wy.astype(f32), wz.astype(f32))
+    return (tlx, tly, tlz), inv, origin, rb, lb
 
-    def needed_steps():
-        """max over rays of int(largest_bin_distance) — the per-ray DDA
-        bound the reference computes (alternative.cpp:423-432)."""
-        ddx = lbx.astype(f32) - rbx.astype(f32)
-        ddy = lby.astype(f32) - rby.astype(f32)
-        ddz = lbz.astype(f32) - rbz.astype(f32)
-        largest = c_max(c_max(jnp.abs(ddx), jnp.abs(ddy)), jnp.abs(ddz))
-        return jnp.max(largest.astype(jnp.int32))
+
+def max_needed_steps(rb, lb) -> jax.Array:
+    """max over rays of int(largest_bin_distance) — the per-ray DDA bound
+    the reference computes (alternative.cpp:423-432)."""
+    f32 = jnp.float32
+    ddx = lb[0].astype(f32) - rb[0].astype(f32)
+    ddy = lb[1].astype(f32) - rb[1].astype(f32)
+    ddz = lb[2].astype(f32) - rb[2].astype(f32)
+    largest = c_max(c_max(jnp.abs(ddx), jnp.abs(ddy)), jnp.abs(ddz))
+    return jnp.max(largest.astype(jnp.int32))
+
+
+def brightness_factor(normal, tl, lit, config: RenderConfig) -> jax.Array:
+    """min(1, Lambert + ambient) where lit, ambient elsewhere
+    (alternative.cpp:734-758)."""
+    f32 = jnp.float32
+    dot = (normal[..., 0] * tl[0] + normal[..., 1] * tl[1]
+           + normal[..., 2] * tl[2])
+    diffuse = c_max(f32(0.0), dot)                    # std::max<float>(0, ·)
+    brightness = c_min(f32(1.0), diffuse + f32(config.ambient))
+    return jnp.where(lit, brightness, f32(config.ambient))
+
+
+def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
+                    config: RenderConfig, max_steps: int = 16,
+                    shadow_impl: str = "scan", shadow_tables=None,
+                    guard: str = "fallback", row0=0) -> jax.Array:
+    """Per-pixel brightness factor: ambient where the light is occluded,
+    min(1, Lambert + ambient) where reachable.  The scalar core of the
+    lighting loop (alternative.cpp:702-760).
+
+    ``guard``: every production shadow path carries static bounds that a
+    hostile frame can exceed — the DDA step bound ``max_steps`` (a far
+    light needs more steps, alternative.cpp:423-432 computes the bound per
+    ray), the fast paths' candidate capacity, and their start-bin z table
+    range.  With ``guard="fallback"`` (default) the frame checks those
+    bounds on device and a single ``lax.cond`` reroutes the whole frame to
+    the exact dynamically-bounded march (shadow.trace_light_dynamic) when
+    any is exceeded — occluders are never silently dropped.  ``"none"``
+    skips the check (for callers that prove the bounds statically, or
+    vmapped contexts where cond lowers to executing both branches).
+    """
+    cfg = config
+    W = cfg.view_width
+
+    # Row count comes from the G-buffer: row-sharded shards pass a window
+    # of rows (absolute offset row0); world math uses only world-space
+    # coordinates, so the window is transparent except to the shadow
+    # kernel's per-block tables.
+    tl, inv, origin, rb, lb = light_geometry(gbuf, light, cfg)
+    (rbx, rby, rbz), (lbx, lby, lbz) = rb, lb
+    wy, wz = gbuf.y, gbuf.z
 
     def dynamic_fallback():
         from .shadow import trace_light_dynamic
@@ -163,14 +196,14 @@ def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
             # reroutes the frame to the exact dynamic march.
             sz_ok = jnp.all((rbz >= tables.sz_lo) & (rbz < tables.sz_hi))
             ok = (~cands.overflow & sz_ok
-                  & (needed_steps() <= tables.max_steps))
+                  & (max_needed_steps(rb, lb) <= tables.max_steps))
             lit = jax.lax.cond(ok, fast_lit, dynamic_fallback)
         else:
             lit = fast_lit()
     else:
         if guard == "fallback":
             lit = jax.lax.cond(
-                needed_steps() <= max_steps,
+                max_needed_steps(rb, lb) <= max_steps,
                 lambda: trace_light(pos, ext, bins_ent, counts,
                                     (rbx, rby, rbz), (lbx, lby, lbz),
                                     gbuf.entity_index, origin, inv, cfg,
@@ -181,11 +214,7 @@ def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
                               (lbx, lby, lbz), gbuf.entity_index,
                               origin, inv, cfg, max_steps)
 
-    n = gbuf.normal
-    dot = n[..., 0] * tlx + n[..., 1] * tly + n[..., 2] * tlz
-    diffuse = c_max(f32(0.0), dot)                    # std::max<float>(0, ·)
-    brightness = c_min(f32(1.0), diffuse + f32(cfg.ambient))
-    return jnp.where(lit, brightness, f32(cfg.ambient))
+    return brightness_factor(gbuf.normal, tl, lit, cfg)
 
 
 def shade_multi(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,

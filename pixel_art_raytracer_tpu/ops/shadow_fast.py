@@ -71,14 +71,15 @@ def _phase_axes(t):
     return phase, axx, axy, axz
 
 
-def dda_membership(light_bin, config: RenderConfig, tables: ShadowTables):
+def _dda_probe_flats(light_bin, config: RenderConfig, tables: ShadowTables):
     """Simulate the 7-phase DDA from every start bin in the table space.
 
-    Returns ``member``: (P, V) bool — True where the path from start p tests
-    flat bin v.  P = hash_w * (hash_h + 1) * (sz_hi - sz_lo), ordered
-    (sx, sy, sz) row-major.  Replicates the scan implementation exactly:
-    float stepping, truncation toward zero, the start-flat skip (including
-    aliased flats), and masking of out-of-allocation flat indices.
+    Returns ``flats``: (7*max_steps, P) int32 — the flat bin id each probe
+    of each start's path tests, with inactive/out-of-range/start-skip probes
+    mapped to the sentinel V.  P = hash_w * (hash_h + 1) * (sz_hi - sz_lo),
+    ordered (sx, sy, sz) row-major.  Replicates the scan implementation
+    exactly: float stepping, truncation toward zero, the start-flat skip
+    (including aliased flats), and masking of out-of-allocation indices.
     """
     cfg = config
     V = cfg.hash_volume
@@ -137,15 +138,62 @@ def dda_membership(light_bin, config: RenderConfig, tables: ShadowTables):
     active = (jnp.arange(K, dtype=jnp.int32)[None, :, None]
               < n_steps[None, None, :])
     ok = active & (flat >= 0) & (flat < V) & (flat != start_flat[None, None])
-    flats = jnp.where(ok, flat, V).reshape(7 * K, P)
+    return jnp.where(ok, flat, V).reshape(7 * K, P)
+
+
+def dda_membership(light_bin, config: RenderConfig, tables: ShadowTables):
+    """(P, V) bool membership: True where start p's path tests flat bin v."""
+    cfg = config
+    V = cfg.hash_volume
+    flats = _dda_probe_flats(light_bin, cfg, tables)
 
     # Dense one-hot OR beats a scatter on TPU at these sizes.
+    P = flats.shape[1]
     bins = jnp.arange(V, dtype=jnp.int32)[None, :]
     member = jnp.zeros((P, V), bool)
     for t0 in range(0, flats.shape[0], 14):
         chunk = flats[t0:t0 + 14]                  # (<=14, P)
         member = member | (chunk[:, :, None] == bins[None]).any(axis=0)
     return member
+
+
+def dda_membership_words(light_bin, config: RenderConfig,
+                         tables: ShadowTables):
+    """(P, n_words) uint32: bit v of row p set iff member[p, v].
+
+    Same probe simulation as :func:`dda_membership` (shared helper), but the
+    one-hot runs over 32x fewer columns: probes scatter into words via a
+    compare-select against the word index and an OR-fold — ~30x less compare
+    and materialisation work than the dense (P, V) build, which matters when
+    the simulation runs per frame of an animation batch.
+    """
+    cfg = config
+    V = cfg.hash_volume
+    n_words = -(-V // 32)
+    flats = _dda_probe_flats(light_bin, cfg, tables)    # (7K, P)
+
+    word_id = flats // 32                                # sentinel V -> n_words*
+    shifted = (jnp.uint32(1)
+               << (flats % 32).astype(jnp.uint32))
+    # Sentinel probes (flats == V) must contribute nothing: V % 32 may alias
+    # a real bit, so zero them explicitly.
+    shifted = jnp.where(flats == V, jnp.uint32(0), shifted)
+
+    cols = []
+    for w in range(n_words):
+        bits = jnp.where(word_id == w, shifted, jnp.uint32(0))  # (7K, P)
+        cols.append(jax.lax.reduce(bits, jnp.uint32(0),
+                                   jax.lax.bitwise_or, (0,)))   # (P,)
+    return jnp.stack(cols, axis=1)                       # (P, n_words)
+
+
+def unpack_member_words(words, config: RenderConfig):
+    """(P, n_words) uint32 -> (P, V) bool (inverse of the word packing)."""
+    V = config.hash_volume
+    P, nw = words.shape
+    bits = ((words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None])
+            & jnp.uint32(1))
+    return bits.reshape(P, nw * 32)[:, :V] > 0
 
 
 class Candidates(NamedTuple):
@@ -160,8 +208,15 @@ class Candidates(NamedTuple):
 
 
 def build_candidates(pos, ext, bins_ent, counts, member,
-                     config: RenderConfig, tables: ShadowTables) -> Candidates:
-    """Flatten live (bin, slot) entries, prune bins no path tests, compact."""
+                     config: RenderConfig, tables: ShadowTables,
+                     tested_any=None, dyn_pos=None) -> Candidates:
+    """Flatten live (bin, slot) entries, prune bins no path tests, compact.
+
+    ``tested_any`` (V,) bool may be passed directly (batched callers derive
+    it from packed membership words; ``member`` is then unused and may be
+    None).  ``dyn_pos`` (D, 3) overrides the positions of the leading D
+    dynamic entities without materialising a per-frame ``pos`` copy.
+    """
     cfg = config
     V = cfg.hash_volume
     cap = cfg.bin_capacity
@@ -169,7 +224,8 @@ def build_candidates(pos, ext, bins_ent, counts, member,
 
     slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
     live = slot < counts[:, None]                       # (V, cap)
-    tested_any = member.any(axis=0)                     # (V,)
+    if tested_any is None:
+        tested_any = member.any(axis=0)                 # (V,)
     keep = (live & tested_any[:, None]).reshape(-1)     # (V*cap,)
 
     n_keep = keep.sum()
@@ -181,8 +237,12 @@ def build_candidates(pos, ext, bins_ent, counts, member,
     flat_idx = order
     bin_id = (flat_idx // cap).astype(jnp.int32)
     ent = jnp.where(valid, bins_ent.reshape(-1)[flat_idx], 0)
-    p = pos[ent].astype(jnp.float32)
-    q = (pos[ent] + ext[ent]).astype(jnp.float32)
+    pe = pos[ent]
+    if dyn_pos is not None:
+        for d in range(dyn_pos.shape[0]):
+            pe = jnp.where((ent == d)[..., None], dyn_pos[d], pe)
+    p = pe.astype(jnp.float32)
+    q = (pe + ext[ent]).astype(jnp.float32)
     # Pad to a lane multiple: small grids (V*cap < max_candidates) would
     # otherwise produce a list shorter than the Pallas driver's 128-wide
     # SMEM blocking.  Padded rows are valid=False (kernels route them at

@@ -98,29 +98,35 @@ def used_block_relevance(member, szidx, bg, config: RenderConfig,
     sz = szidx[:, :W]
     isbg = (bg[:, :W] > 0)
 
+    f32 = jnp.float32
     lane_sx = np.minimum(np.arange(W) // cfg.bin_size, SX - 1)
-    lane_ind = jnp.asarray(np.eye(SX, dtype=np.int32)[lane_sx])   # (W, SX)
+    lane_ind = jnp.asarray(np.eye(SX, dtype=np.float32)[lane_sx])  # (W, SX)
 
+    # All contractions in f32 on the MXU (int einsums run as slow vector
+    # loops); values are 0/1 with sums << 2^24, so results are exact.
     oh = ((sz[..., None] == jnp.arange(SZ, dtype=jnp.int32))
-          & ~isbg[..., None]).astype(jnp.int32)                   # (h, W, SZ)
-    pres = jnp.einsum("hws,wx->hxs", oh, lane_ind)
+          & ~isbg[..., None]).astype(f32)                         # (h, W, SZ)
+    pres = jnp.einsum("hws,wx->hxs", oh, lane_ind,
+                      preferred_element_type=f32)
     pres = (pres.reshape(NB, R, SX, SZ).sum(axis=1) > 0)          # (NB, SX, SZ)
-    presbg = jnp.einsum("hw,wx->hx", isbg.astype(jnp.int32), lane_ind)
+    presbg = jnp.einsum("hw,wx->hx", isbg.astype(f32), lane_ind,
+                        preferred_element_type=f32)
     presbg = (presbg.reshape(NB, R, SX).sum(axis=1) > 0)          # (NB, SX)
 
     m = member.reshape(SX, SY, SZ, -1)
     block_sy = (jnp.asarray(row0, jnp.int32)
                 + jnp.arange(NB, dtype=jnp.int32) * R) // cfg.bin_size
     mrows = jnp.moveaxis(m[:, block_sy], 1, 0)                    # (NB, SX, SZ, V)
-    rel = jnp.einsum("bxs,bxsv->bv", pres.astype(jnp.int32),
-                     mrows.astype(jnp.int32)) > 0
+    rel = jnp.einsum("bxs,bxsv->bv", pres.astype(f32),
+                     mrows.astype(f32), preferred_element_type=f32) > 0
 
     from .cstyle import c_div
 
     sy_bg = min(int(c_div(cfg.view_height, cfg.bin_size)), SY - 1)
     mbg = m[:, sy_bg, -tables.sz_lo]                              # (SX, V)
-    rel = rel | (jnp.einsum("bx,xv->bv", presbg.astype(jnp.int32),
-                            mbg.astype(jnp.int32)) > 0)
+    rel = rel | (jnp.einsum("bx,xv->bv", presbg.astype(f32),
+                            mbg.astype(f32),
+                            preferred_element_type=f32) > 0)
     return rel
 
 
@@ -139,12 +145,16 @@ def candidate_lists_from_relevance(cands: Candidates, rel):
 def lane_member_tables(member_words, config: RenderConfig,
                        tables: ShadowTables, rows_per_block: int,
                        w_pad: int, row0=0, n_rows: int | None = None):
-    """Lane-expanded per-block membership word tables.
+    """Lane-expanded membership word tables, one row per DISTINCT bin row.
 
     ``row0``/``n_rows`` select the screen-row window (for row-sharded
-    shards); defaults cover the full frame.  Returns:
-      t_row: (NB, SZ * n_words, w_pad) uint32 — words for sy = block row
-             band, per sz, expanded over lanes (sx = lane // bin_size).
+    shards); defaults cover the full frame.  ``row0`` must be a bin-row
+    multiple (the shard_map driver guarantees it).  Returns:
+      t_row: (n_sy, SZ * n_words, w_pad) uint32 — words for each bin row
+             the window touches, per sz, expanded over lanes
+             (sx = lane // bin_size).  Row k covers screen rows
+             [k*bin_size, (k+1)*bin_size) of the window; the kernel's index
+             map is ``block // (bin_size // rows_per_block)``.
       t_bg:  (n_words, w_pad) uint32 — words for the background start
              (sy = aliased background row, sz = index of 0).
     """
@@ -152,24 +162,38 @@ def lane_member_tables(member_words, config: RenderConfig,
     SY = cfg.hash_height + 1
     SZ = tables.sz_hi - tables.sz_lo
     nw = member_words.shape[1]
-    NB = (n_rows if n_rows is not None
-          else cfg.view_height) // rows_per_block
+    if n_rows is None:
+        n_rows = cfg.view_height
+    n_sy = -(-n_rows // cfg.bin_size)
 
     m = member_words.reshape(cfg.hash_width, SY, SZ, nw)
-    block_sy = (jnp.asarray(row0, jnp.int32)
-                + jnp.arange(NB, dtype=jnp.int32) * rows_per_block
-                ) // cfg.bin_size
+    block_sy = (jnp.asarray(row0, jnp.int32) // cfg.bin_size
+                + jnp.arange(n_sy, dtype=jnp.int32))
+
+    from .trace_pallas import lane_select_matrix
+
+    sel = lane_select_matrix(cfg, w_pad)                   # (SX, w_pad) 0/1
 
     def expand(rows):  # (..., SX, nw) -> (..., nw, w_pad)
-        lanes = jnp.repeat(rows, cfg.bin_size, axis=-2)[..., :cfg.view_width, :]
-        lanes = jnp.pad(lanes,
-                        [(0, 0)] * (lanes.ndim - 2)
-                        + [(0, w_pad - cfg.view_width), (0, 0)])
-        return jnp.moveaxis(lanes, -2, -1)
+        # Lane expansion as an MXU matmul (lane gathers are slow); uint32
+        # words split into 16-bit halves so the f32 contraction is exact.
+        r = jnp.moveaxis(rows, -2, -1)                     # (..., nw, SX)
+        shp = r.shape
+        r2 = r.reshape(-1, shp[-1])
+        lo = (r2 & jnp.uint32(0xffff)).astype(jnp.float32)
+        hi = (r2 >> jnp.uint32(16)).astype(jnp.float32)
+        dn = (((1,), (0,)), ((), ()))
+        lo_l = jax.lax.dot_general(lo, sel, dn,
+                                   preferred_element_type=jnp.float32)
+        hi_l = jax.lax.dot_general(hi, sel, dn,
+                                   preferred_element_type=jnp.float32)
+        out = (lo_l.astype(jnp.uint32)
+               | (hi_l.astype(jnp.uint32) << jnp.uint32(16)))
+        return out.reshape(shp[:-1] + (w_pad,))
 
-    rows = jnp.moveaxis(m[:, block_sy], 1, 0)          # (NB, SX, SZ, nw)
-    rows = jnp.moveaxis(rows, 2, 1)                    # (NB, SZ, SX, nw)
-    t_row = expand(rows).reshape(NB, SZ * nw, w_pad)
+    rows = jnp.moveaxis(m[:, block_sy], 1, 0)          # (n_sy, SX, SZ, nw)
+    rows = jnp.moveaxis(rows, 2, 1)                    # (n_sy, SZ, SX, nw)
+    t_row = expand(rows).reshape(n_sy, SZ * nw, w_pad)
 
     from .cstyle import c_div
 
@@ -184,33 +208,34 @@ def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
                    trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref, oz_ref,
                    ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref, bitmap_scr,
                    *, w_pad: int, rows: int, n_words: int, n_sz: int):
-    """Per-block pruned candidate counts and the flat-bin id table ride
-    scalar prefetch (tiny); the pruned per-block index lists stream through
-    a blocked SMEM input (whole SMEM tables would be buffered per grid
-    step, blowing the 1 MB budget); box corners / entity ids live in VMEM
-    and are read with scalar loads.
+    """Row-block body on a (frames, row_blocks) grid — every block carries a
+    leading frame dim of 1, so one launch shades a whole animation batch.
+    Per-block pruned candidate counts, flat-bin ids, and the pruned index
+    lists stream through blocked SMEM inputs (whole SMEM tables would be
+    buffered per grid step, blowing the 1 MB budget); box corners / entity
+    ids live in VMEM and are read with scalar loads.
     """
-    block = pl.program_id(0)
-    n = counts_ref[block]
+    block = pl.program_id(1)
+    n = counts_ref[0, 0, block]
     R = rows
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, w_pad), 1)
     ox = lane.astype(jnp.float32)
-    oy = oy_ref[...]
-    oz = oz_ref[...]
-    ivx = ivx_ref[...]
-    ivy = ivy_ref[...]
-    ivz = ivz_ref[...]
-    ent = ent_ref[...]
-    szidx = szidx_ref[...]
-    bg = bg_ref[...] > 0
+    oy = oy_ref[0]
+    oz = oz_ref[0]
+    ivx = ivx_ref[0]
+    ivy = ivy_ref[0]
+    ivz = ivz_ref[0]
+    ent = ent_ref[0]
+    szidx = szidx_ref[0]
+    bg = bg_ref[0] > 0
 
     # Build this block's per-pixel membership bitmap in VMEM: select the
     # lane-vector of words by each pixel's sz (or the background row).
     for w in range(n_words):
-        acc = jnp.where(bg, tbg_ref[w:w + 1, :], jnp.uint32(0))
+        acc = jnp.where(bg, tbg_ref[0, w:w + 1, :], jnp.uint32(0))
         for s in range(n_sz):
-            rowvec = trow_ref[0, s * n_words + w:s * n_words + w + 1, :]
+            rowvec = trow_ref[0, 0, s * n_words + w:s * n_words + w + 1, :]
             acc = jnp.where(~bg & (szidx == s), rowvec, acc)
         bitmap_scr[w] = acc
     # Dedicated always-zero word: padded/invalid candidates index it.
@@ -225,20 +250,20 @@ def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
 
         for cc in range(8):
             m = c0 + cc
-            c = lists_ref[0, m // 128, m % 128]
-            b_c = cbin_ref[c]                      # scalar flat-ish bin id
+            c = lists_ref[0, 0, m // 128, m % 128]
+            b_c = cbin_ref[0, c // 128, c % 128]   # scalar flat-ish bin id
             word_c = b_c // 32
             bit_c = b_c % 32
             # Scalar loads from the VMEM tables: scalars broadcast freely
             # into the [R, w_pad] vector math (vector extracts would need a
             # both-dims broadcast, which Mosaic lacks).
-            px = box_ref[c, 0]
-            py = box_ref[c, 1]
-            pz = box_ref[c, 2]
-            qx = box_ref[c, 3]
-            qy = box_ref[c, 4]
-            qz = box_ref[c, 5]
-            ent_c = centi_ref[c, 0]
+            px = box_ref[0, c, 0]
+            py = box_ref[0, c, 1]
+            pz = box_ref[0, c, 2]
+            qx = box_ref[0, c, 3]
+            qy = box_ref[0, c, 4]
+            qz = box_ref[0, c, 5]
+            ent_c = centi_ref[0, c, 0]
 
             w = bitmap_scr[word_c]
             member = ((w >> bit_c.astype(jnp.uint32)) & jnp.uint32(1)) > 0
@@ -271,23 +296,112 @@ def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
     occ0 = jnp.zeros((R, w_pad), jnp.int32)
     n_chunks = (n + 7) // 8
     occluded = jax.lax.fori_loop(0, n_chunks, chunk_body, occ0)
-    out_ref[...] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
+    out_ref[0] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
+
+
+def shadow_call_batched(blk_counts, cbin, lists, box, centi, t_row, t_bg,
+                        szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
+                        config: RenderConfig, tables: ShadowTables,
+                        rows_per_block: int = 8) -> jax.Array:
+    """Launch the shadow kernel on a (frames, row_blocks) grid.
+
+    Every argument leads with the frame axis F (single-frame callers pass
+    F=1):
+      blk_counts (F, NB) i32, cbin (F, Mq, 128) i32,
+      lists (F, NB, Mq, 128) i32, box (F, M, 8) f32, centi (F, M, 8) i32,
+      t_row (F, n_sy, SZ*nw, w_pad) u32, t_bg (F, nw, w_pad) u32,
+      pixel inputs (F, h, w_pad).
+    Returns lit (F, h, w_pad) int32 (1 = reachable).
+    """
+    cfg = config
+    F, H, w_pad = oy.shape
+    R = rows_per_block
+    NB = H // R
+    SZ = tables.sz_hi - tables.sz_lo
+    n_words = t_bg.shape[1]
+    M = box.shape[1]
+    Mq = M // 128
+    bpr = cfg.bin_size // R            # row blocks per bin row
+
+    kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
+                               n_words=n_words, n_sz=SZ)
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+
+    def pix():
+        return pl.BlockSpec((1, R, w_pad), lambda f, i: (f, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    # SMEM operands are buffered per grid step: whole tables must not ride
+    # scalar prefetch (F x their size would blow the budget), but *blocked*
+    # SMEM specs only buffer their few-KB block — counts, bin ids, and the
+    # per-block pruned candidate list use that.  Box/entity parameter
+    # tables live in VMEM (scalar loads).
+    grid_spec = pl.GridSpec(
+        grid=(F, NB),
+        in_specs=[
+            # The unit middle axis keeps the SMEM block's trailing dims
+            # equal to the array's (the TPU lowering requires it).
+            pl.BlockSpec((1, 1, NB), lambda f, i: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # per-block counts
+            pl.BlockSpec((1, Mq, 128), lambda f, i: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # candidate bin ids
+            pl.BlockSpec((1, 1, Mq, 128), lambda f, i: (f, i, 0, 0),
+                         memory_space=pltpu.SMEM),    # pruned index lists
+            pl.BlockSpec((1, M, 8), lambda f, i: (f, 0, 0),
+                         memory_space=pltpu.VMEM),    # box corners
+            pl.BlockSpec((1, M, 8), lambda f, i: (f, 0, 0),
+                         memory_space=pltpu.VMEM),    # candidate entity ids
+            pl.BlockSpec((1, 1, SZ * n_words, w_pad),
+                         lambda f, i: (f, i // bpr, 0, 0),
+                         memory_space=pltpu.VMEM),    # t_row (per bin row)
+            pl.BlockSpec((1, n_words, w_pad), lambda f, i: (f, 0, 0),
+                         memory_space=pltpu.VMEM),    # t_bg
+            pix(), pix(), pix(), pix(), pix(), pix(), pix(), pix(),
+        ],
+        out_specs=pl.BlockSpec((1, R, w_pad), lambda f, i: (f, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_words + 1, R, w_pad), jnp.uint32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, H, w_pad), jnp.int32),
+        interpret=interpret,
+    )(blk_counts[:, None, :], cbin, lists, box, centi, t_row, t_bg,
+      szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)
+
+
+def candidate_param_tables(cands: Candidates, n_words: int):
+    """Kernel-layout candidate parameter tables from a Candidates pytree.
+
+    Returns (cbin (Mq, 128) i32, box (M, 8) f32, centi (M, 8) i32); invalid
+    or padded candidates point at the always-zero bitmap word and an
+    impossible entity id.  Vmappable over a frame axis.
+    """
+    M = cands.bin.shape[0]
+    cbin = jnp.where(cands.valid, cands.bin, n_words * 32).astype(jnp.int32)
+    box = jnp.zeros((M, 8), jnp.float32)
+    box = box.at[:, 0:3].set(cands.pmin).at[:, 3:6].set(cands.pmax)
+    centi = jnp.broadcast_to(
+        jnp.where(cands.valid, cands.ent, -(10 ** 9))[:, None],
+        (M, 8)).astype(jnp.int32)
+    return cbin.reshape(M // 128, 128), box, centi
 
 
 def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
                        cands: Candidates, config: RenderConfig,
                        tables: ShadowTables, rows_per_block: int = 8,
                        row0=0) -> jax.Array:
-    """Kernel driver.  Pixel inputs are (h, w_pad)-shaped (szidx is the
-    clamped sz table index, bg marks background pixels); ``h`` may be a
-    row-sharded window whose absolute first screen row is ``row0``.
-    Returns lit (h, w_pad) int32 (1 = reachable)."""
+    """Single-frame kernel driver (the F=1 case of the batched launch).
+
+    Pixel inputs are (h, w_pad)-shaped (szidx is the clamped sz table index,
+    bg marks background pixels); ``h`` may be a row-sharded window whose
+    absolute first screen row is ``row0``.  Returns lit (h, w_pad) int32
+    (1 = reachable)."""
     cfg = config
     H = oy.shape[0]
     w_pad = oy.shape[1]
     R = rows_per_block
-    NB = H // R
-    SZ = tables.sz_hi - tables.sz_lo
 
     member_words = pack_member_words(member)
     n_words = member_words.shape[1]
@@ -298,50 +412,13 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
 
     M = cands.bin.shape[0]
     assert M % 8 == 0
-    # Invalid/padded candidates point at the always-zero bitmap word.
-    cbin = jnp.where(cands.valid, cands.bin, n_words * 32).astype(jnp.int32)
-    box = jnp.zeros((M, 8), jnp.float32)
-    box = box.at[:, 0:3].set(cands.pmin).at[:, 3:6].set(cands.pmax)
-    centi = jnp.broadcast_to(
-        jnp.where(cands.valid, cands.ent, -(10 ** 9))[:, None],
-        (M, 8)).astype(jnp.int32)
+    cbin, box, centi = candidate_param_tables(cands, n_words)
 
-    kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
-                               n_words=n_words, n_sz=SZ)
-    interpret = jax.devices()[0].platform not in ("tpu", "axon")
-
-    def pix(i=0):
-        return pl.BlockSpec((R, w_pad), lambda i_, *_: (i_, 0),
-                            memory_space=pltpu.VMEM)
-
-    # SMEM operands are buffered per grid step (40 x their size): whole
-    # tables must not ride scalar prefetch, but a *blocked* SMEM spec only
-    # buffers its 4 KB block — the per-block pruned candidate list uses
-    # that.  Box/entity parameter tables live in VMEM (scalar loads).
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,          # per-block counts, cbin
-        grid=(NB,),
-        in_specs=[
-            pl.BlockSpec((1, M // 128, 128), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.SMEM),    # pruned index lists
-            pl.BlockSpec(box.shape, lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),    # box corners
-            pl.BlockSpec(centi.shape, lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),    # candidate entity ids
-            pl.BlockSpec((1, SZ * n_words, w_pad), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),    # t_row
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # t_bg (full)
-            pix(), pix(), pix(), pix(), pix(), pix(), pix(), pix(),
-        ],
-        out_specs=pl.BlockSpec((R, w_pad), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_words + 1, R, w_pad), jnp.uint32)],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((H, w_pad), jnp.int32),
-        interpret=interpret,
-    )(blk_counts, cbin, lists.reshape(-1, M // 128, 128), box, centi,
-      t_row, t_bg,
-      szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)
+    lit = shadow_call_batched(
+        blk_counts[None], cbin[None],
+        lists.reshape(-1, M // 128, 128)[None], box[None], centi[None],
+        t_row[None], t_bg[None],
+        szidx[None], bg[None], start_ent[None],
+        oy[None], oz[None], ivx[None], ivy[None], ivz[None],
+        cfg, tables, rows_per_block=R)
+    return lit[0]

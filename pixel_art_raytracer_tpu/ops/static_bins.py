@@ -63,67 +63,98 @@ class StaticBins:
             window=self.window))
         self.static_total, self.static_ids = build(pos[n_dynamic:],
                                                    ext[n_dynamic:])
+        # Static-only slot layout (the merge result with zero dynamic
+        # coverage): per-frame merges only patch the few bins the dynamics
+        # cover, so this is the base everywhere else.
+        self.bins_static, self.counts_static = jax.jit(
+            lambda: self._static_layout())()
+
+    def _static_rows(self, stored, st_total, n_dyn):
+        """Slot rows for bins given their stored static ids, static totals,
+        and dynamic counts — the rank arithmetic of the scatter formulation,
+        expressed as a select chain over the ``window`` stored entries (no
+        scatters: TPU scatter throughput made the old formulation the single
+        most expensive pipeline stage at ~0.4 ms/frame).
+
+        stored (B, Ws) int32, st_total (B,), n_dyn (B,) -> rows (B, cap).
+        """
+        cap = self.config.bin_capacity
+        Ws = self.window
+        stored_valid = stored >= 0
+        stored_len = stored_valid.sum(axis=1)
+        total = st_total + n_dyn
+        i_idx = jnp.arange(Ws, dtype=jnp.int32)[None, :]
+        rank_s = (st_total - stored_len + n_dyn)[:, None] + i_idx
+        keep_s = stored_valid & (rank_s >= (total[:, None] - cap))
+        slot_s = rank_s & (cap - 1)
+        slots = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        rows = jnp.full(stored.shape[:-1] + (cap,), -1, jnp.int32)
+        for i in range(Ws):
+            place = keep_s[:, i:i + 1] & (slot_s[:, i:i + 1] == slots)
+            rows = jnp.where(place, stored[:, i:i + 1], rows)
+        return rows
+
+    def _static_layout(self):
+        cap = self.config.bin_capacity
+        V = self.config.hash_volume
+        zero = jnp.zeros(V, jnp.int32)
+        rows = self._static_rows(self.static_ids, self.static_total, zero)
+        return rows, self.static_total & (cap - 1)
 
     def merge(self, dyn_pos: jax.Array, dyn_ext: jax.Array):
         """Merge per-frame dynamic entities; returns (bins_ent, counts)
-        bit-identical to ``binning.build_bins`` on the full scene."""
+        bit-identical to ``binning.build_bins`` on the full scene.
+
+        Scatter-free: recomputes slot rows only for the <= D*K bins the
+        dynamics cover and selects them into the precomputed static layout
+        — all elementwise, so it batches perfectly under vmap (the old
+        full-grid scatter formulation didn't).
+        """
         cfg = self.config
         cap = cfg.bin_capacity
         V = cfg.hash_volume
         D = self.n_dynamic
-        Ws = self.window
         Ax, Ay, Az = self.spans
         K = Ax * Ay * Az
 
         flat, valid = _covered_bins(dyn_pos, dyn_ext, cfg, self.spans)
-        flat = jnp.where(valid, flat, V)                    # (D, K)
+        flatf = jnp.where(valid, flat, V).reshape(-1)       # (D*K,)
+        DK = D * K
+        flatc = jnp.minimum(flatf, V - 1)
+        validf = flatf < V
 
-        n_dyn_bin = jnp.zeros(V + 1, jnp.int32).at[flat.reshape(-1)].add(1)
-        n_dyn = n_dyn_bin[:V]                               # (V,)
-        total = self.static_total + n_dyn                   # (V,)
-        counts = total & (cap - 1)
+        # Per covered pair: how many valid pairs share its bin (n_dyn), and
+        # this pair's dynamic rank (pairs of earlier entities, same bin).
+        eq = (flatf[:, None] == flatf[None, :]) & validf[None, :]  # (DK, DK)
+        n_dyn_here = eq.sum(axis=1).astype(jnp.int32)
+        d_of = jnp.arange(DK, dtype=jnp.int32) // K
+        rank_dyn = (eq & (d_of[None, :] < d_of[:, None])).sum(
+            axis=1).astype(jnp.int32)
 
-        # Static entries: stored id list is rank-ordered; global rank =
-        # (static_total - stored_len) + i + n_dyn_bin.
-        stored_valid = self.static_ids >= 0                 # (V, Ws)
-        stored_len = stored_valid.sum(axis=1)               # (V,)
-        i_idx = jnp.arange(Ws, dtype=jnp.int32)[None, :]
-        rank_s = ((self.static_total - stored_len + n_dyn)[:, None] + i_idx)
-        keep_s = stored_valid & (rank_s >= (total[:, None] - cap))
-        slot_s = rank_s & (cap - 1)
-        bin_idx = jnp.broadcast_to(
-            jnp.arange(V, dtype=jnp.int32)[:, None], (V, Ws))
-        target_s = jnp.where(keep_s, bin_idx * cap + slot_s, V * cap)
+        stored = self.static_ids[flatc]                     # (DK, Ws)
+        st_total = self.static_total[flatc]
+        total = st_total + n_dyn_here
+        rows = self._static_rows(stored, st_total, n_dyn_here)
 
-        bins_ent = jnp.full(V * cap, -1, jnp.int32)
-        bins_ent = bins_ent.at[target_s.reshape(-1)].set(
-            self.static_ids.reshape(-1), mode="drop")
+        # Dynamics overlay (written after statics, ascending entity order —
+        # same overwrite sequence as the reference's insertion loop).
+        slots = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        keep_dyn = validf & (rank_dyn >= total - cap)
+        slot_dyn = rank_dyn & (cap - 1)
+        for jp in range(DK):
+            place = (eq[:, jp][:, None] & keep_dyn[jp]
+                     & (slots == slot_dyn[jp]))
+            rows = jnp.where(place, d_of[jp], rows)
 
-        # Dynamic entries: rank among dynamics covering the bin = number of
-        # earlier dynamic pairs hitting the same bin.  D is small, so an
-        # unrolled prefix count is cheapest.
-        seen = jnp.zeros(V + 1, jnp.int32)
-        for d in range(D):
-            fd = flat[d]                                    # (K,)
-            # rank of this entity's entry within each covered bin
-            rank_d = seen[fd] + _prefix_dups(fd, V)
-            tot_d = total[jnp.minimum(fd, V - 1)]
-            keep_d = (fd < V) & (rank_d >= tot_d - cap)
-            slot_d = rank_d & (cap - 1)
-            target_d = jnp.where(keep_d, fd * cap + slot_d, V * cap)
-            bins_ent = bins_ent.at[target_d].set(d, mode="drop")
-            seen = seen.at[fd].add(1)
-
-        return bins_ent.reshape(V, cap), counts
-
-
-def _prefix_dups(flat: jax.Array, V: int) -> jax.Array:
-    """For each pair position, how many earlier pairs hit the same bin.
-
-    One entity's covered bins are distinct, so this is always zero — kept as
-    an explicit guard for K-grid enumerations that might repeat a bin.
-    """
-    return jnp.zeros_like(flat)
+        # Select the patched rows into the static base (covered bins only).
+        bins_ent = self.bins_static
+        counts = self.counts_static
+        binsv = jnp.arange(V, dtype=jnp.int32)
+        for j in range(DK):
+            m = binsv == flatf[j]                           # all-false if invalid
+            counts = jnp.where(m, total[j] & (cap - 1), counts)
+            bins_ent = jnp.where(m[:, None], rows[j][None, :], bins_ent)
+        return bins_ent, counts
 
 
 def _covered_bins(pos, ext, config: RenderConfig, spans):

@@ -49,6 +49,20 @@ def trace_pixels(pos: jax.Array, ext: jax.Array, sprite_id: jax.Array,
       palette: (P, 4) uint8.
       bins_ent: (V, C) int32 (-1 empty); counts: (V,) int32.
     """
+    best, winner = trace_winner(pos, ext, sprite_id, atlas_depth, bins_ent,
+                                counts, config)
+    del best
+    return materialize_gbuffer(winner, pos, ext, sprite_id, atlas_color,
+                               atlas_depth, atlas_normal, palette, config)
+
+
+def trace_winner(pos: jax.Array, ext: jax.Array, sprite_id: jax.Array,
+                 atlas_depth: jax.Array, bins_ent: jax.Array,
+                 counts: jax.Array, config: RenderConfig):
+    """The winner scan of :func:`trace_pixels` alone: returns per-pixel
+    ``(best_depth, winner_entity)`` — (H, W) int32 each, winner -1 for
+    background.  Entity-sharded callers (parallel/entity_sharded.py) merge
+    these partial results across shards by depth key."""
     cfg = config
     H, W = cfg.view_height, cfg.view_width
     cap = cfg.bin_capacity
@@ -119,9 +133,7 @@ def trace_pixels(pos: jax.Array, ext: jax.Array, sprite_id: jax.Array,
         jnp.zeros((H, W), bool),
     )
     best, winner, _, _ = jax.lax.fori_loop(0, cfg.hash_length, bin_body, state)
-
-    return materialize_gbuffer(winner, pos, ext, sprite_id, atlas_color,
-                               atlas_depth, atlas_normal, palette, config)
+    return best, winner
 
 
 def materialize_gbuffer(winner: jax.Array, pos, ext, sprite_id, atlas_color,

@@ -157,12 +157,26 @@ def color_rects(color: np.ndarray, max_rects: int = 32):
 
 
 def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
-                   config: RenderConfig, w_pad: int):
+                   config: RenderConfig, w_pad: int, dyn_pos=None,
+                   n_compact: int | None = None):
     """Build lane-expanded candidate field tables.
 
     Returns a stacked array ``[n_fields, HH, C*HL, w_pad]`` int32 with field
     order: valid, f0 (posx), f1 (posx+ex), f2 (py+pz), f3 (py+ey+pz+ez),
     f4 (py-pz), f5 (ey), f6 (d0), f7 (slope), ent.
+
+    ``dyn_pos`` (D, 3) overrides the positions of the leading D (dynamic)
+    entities — batched callers vmap over per-frame (bins, dyn_pos) without
+    materialising a per-frame copy of the whole ``pos`` array.
+
+    ``n_compact``: compact each (bin_y, bin_x) column's hash_length*cap
+    candidate rows down to the first ``n_compact`` LIVE entries (live slots
+    are a per-bin prefix, so the compaction is a prefix-sum gather — no
+    sort), appending a bin-z field the kernel needs for the early-exit
+    bookkeeping.  Candidates beyond the bound are dropped — callers guard
+    with the per-column live total (see models/batched.py).  On the graybox
+    the mean column has ~9 live entries of 64, so the kernel's vector work
+    shrinks ~2.7x.
     """
     cfg = config
     HW, HH, HL = cfg.hash_width, cfg.hash_height, cfg.hash_length
@@ -182,6 +196,9 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
 
     ent_s = jnp.where(valid, ent, 0)
     p = pos[ent_s]                                            # (..., 3)
+    if dyn_pos is not None:
+        for d in range(dyn_pos.shape[0]):
+            p = jnp.where((ent_s == d)[..., None], dyn_pos[d], p)
     e = ext[ent_s]
     sid = sprite_id[ent_s]
     fields = [
@@ -201,18 +218,71 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
     stacked = jnp.stack(fields)                               # (F, HH, HL, cap, HW)
     F = stacked.shape[0]
     stacked = stacked.reshape(F, HH, NC, HW)
-    # Expand bin_x -> lanes and pad to w_pad.  Padding lanes get valid=0.
-    lanes = jnp.repeat(stacked, cfg.bin_size, axis=3)
-    lanes = lanes[..., :cfg.view_width]
-    pad = w_pad - cfg.view_width
-    lanes = jnp.pad(lanes, ((0, 0), (0, 0), (0, 0), (0, pad)))
-    return lanes
+    if n_compact is not None:
+        NCc = n_compact
+        # Exclusive per-column prefix of bin counts along z: live entries
+        # of bin b sit at compact positions [pre[b], pre[b+1]).
+        pre = jnp.concatenate(
+            [jnp.zeros((HH, 1, HW), jnp.int32),
+             jnp.cumsum(cnt, axis=1, dtype=jnp.int32)], axis=1)
+        p = jnp.broadcast_to(
+            jnp.arange(NCc, dtype=jnp.int32)[None, :, None], (HH, NCc, HW))
+        b_of = jnp.zeros((HH, NCc, HW), jnp.int32)
+        for b in range(1, HL):
+            b_of = jnp.where(p >= pre[:, b:b + 1, :], b, b_of)
+        s_of = p - jnp.take_along_axis(pre, b_of, axis=1)
+        valid_p = p < pre[:, HL:HL + 1, :]
+        src = jnp.where(valid_p, b_of * cap + s_of, 0)
+        stacked = jnp.take_along_axis(
+            stacked, jnp.broadcast_to(src[None], (F, HH, NCc, HW)), axis=2)
+        stacked = stacked.at[0].set(valid_p.astype(jnp.int32))
+        stacked = jnp.concatenate(
+            [stacked, jnp.where(valid_p, b_of, 0)[None]], axis=0)
+        F = F + 1
+    # Expand bin_x -> lanes and pad to w_pad.  Expressed as an MXU matmul
+    # against a 0/1 lane-selection matrix: a jnp.repeat along lanes lowers
+    # to a lane gather, which is an order of magnitude slower than the
+    # systolic array at these shapes.  Field values are small ints (< 2^24),
+    # so the f32 contraction is exact.  Padding lanes get valid=0.
+    assert pos.shape[0] < (1 << 24), \
+        "entity ids must stay f32-exact for the MXU lane expansion"
+    sel = lane_select_matrix(cfg, w_pad)
+    NCt = stacked.shape[2]
+    flat = stacked.reshape(F * HH * NCt, HW).astype(jnp.float32)
+    lanes = jax.lax.dot_general(
+        flat, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return lanes.astype(jnp.int32).reshape(F, HH, NCt, w_pad)
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_select_np(hash_width: int, bin_size: int, view_width: int,
+                    w_pad: int):
+    sel = np.zeros((hash_width, w_pad), np.float32)
+    lanes = np.arange(view_width)
+    sel[np.minimum(lanes // bin_size, hash_width - 1), lanes] = 1.0
+    return sel
+
+
+def lane_select_matrix(config: RenderConfig, w_pad: int) -> jax.Array:
+    """(hash_width, w_pad) 0/1 f32: column l selects bin_x = l // bin_size
+    (zero beyond the view width, so padding lanes read as invalid)."""
+    return jnp.asarray(_lane_select_np(config.hash_width, config.bin_size,
+                                       config.view_width, w_pad))
 
 
 def _trace_kernel(row0_ref, tab_ref, key_ref, ent_ref, sdep_ref, pz_ref,
-                  rb_ref, px_ref, sid_ref, mkey_scr, empty_scr, *, config,
+                  rb_ref, px_ref, sid_ref, mkey_scr, empty_scr, keys_scr,
+                  sdeps_scr, *, config,
                   rows_per_block: int, n_cands: int, nc2: int, w_pad: int,
-                  segments=None):
+                  segments=None, compact: bool = False):
+    """Row-block body.  Blocks carry a leading frame dim of 1: the grid is
+    (frames, row_blocks) so one launch traces a whole animation batch
+    (frames=1 for single-frame callers).
+
+    ``compact``: the candidate rows are column-compacted live entries (an
+    extra bin-z field rides the table); per-bin maxima and empty flags use
+    bin-z masks instead of structured (bin, slot) slices."""
     cfg = config
     cap = cfg.bin_capacity
     HL = cfg.hash_length
@@ -222,26 +292,31 @@ def _trace_kernel(row0_ref, tab_ref, key_ref, ent_ref, sdep_ref, pz_ref,
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 1)
     cand_i = jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 0)
 
-    valid = tab_ref[0, 0]
-    f0 = tab_ref[1, 0]
-    f1 = tab_ref[2, 0]
-    f2 = tab_ref[3, 0]
-    f3 = tab_ref[4, 0]
-    f4 = tab_ref[5, 0]
-    f5 = tab_ref[6, 0]
-    f6 = tab_ref[7, 0]
-    f7 = tab_ref[8, 0]
-    fent = tab_ref[9, 0]
-    fpz = tab_ref[10, 0]
-    fsid = tab_ref[11, 0]
+    valid = tab_ref[0, 0, 0]
+    f0 = tab_ref[0, 1, 0]
+    f1 = tab_ref[0, 2, 0]
+    f2 = tab_ref[0, 3, 0]
+    f3 = tab_ref[0, 4, 0]
+    f4 = tab_ref[0, 5, 0]
+    f5 = tab_ref[0, 6, 0]
+    f6 = tab_ref[0, 7, 0]
+    f7 = tab_ref[0, 8, 0]
+    fent = tab_ref[0, 9, 0]
+    fpz = tab_ref[0, 10, 0]
+    fsid = tab_ref[0, 11, 0]
+    fbinz = tab_ref[0, 12, 0] if compact else None
 
     # Per-bin empty masks (jr-independent): row b holds bin b's emptiness.
     for b in range(HL):
-        any_valid = jnp.max(valid[b * cap:(b + 1) * cap], axis=0,
-                            keepdims=True)
+        if compact:
+            any_valid = jnp.max(
+                jnp.where(fbinz == b, valid, 0), axis=0, keepdims=True)
+        else:
+            any_valid = jnp.max(valid[b * cap:(b + 1) * cap], axis=0,
+                                keepdims=True)
         empty_scr[b:b + 1] = 1 - any_valid
 
-    block = pl.program_id(0)
+    block = pl.program_id(1)
     j0 = row0_ref[0] + block * R
 
     def cand_keys(jr):
@@ -265,12 +340,22 @@ def _trace_kernel(row0_ref, tab_ref, key_ref, ent_ref, sdep_ref, pz_ref,
                         jnp.int32(KEY_MIN))
         return key, sdep
 
-    # Phase 1: per-row candidate keys -> per-(bin, jr) maxima.
+    # Phase 1: per-row candidate keys -> per-(bin, jr) maxima.  Keys (and
+    # the sprite-depth term) are stashed in VMEM scratch so the winner
+    # resolve (phase 3) reads them back instead of recomputing — ~40% of
+    # the kernel's vector work.
     for jr in range(R):
-        key, _ = cand_keys(jr)
+        key, sdep = cand_keys(jr)
+        keys_scr[jr * n_cands:(jr + 1) * n_cands] = key
+        sdeps_scr[jr * n_cands:(jr + 1) * n_cands] = sdep
         for b in range(HL):
-            mkey_scr[b * R + jr:b * R + jr + 1] = jnp.max(
-                key[b * cap:(b + 1) * cap], axis=0, keepdims=True)
+            if compact:
+                mb = jnp.max(jnp.where(fbinz == b, key, jnp.int32(KEY_MIN)),
+                             axis=0, keepdims=True)
+            else:
+                mb = jnp.max(key[b * cap:(b + 1) * cap], axis=0,
+                             keepdims=True)
+            mkey_scr[b * R + jr:b * R + jr + 1] = mb
 
     # Phase 2: early-exit scan over bins (quirk Q5), all jr rows at once.
     total = jnp.full((R, w_pad), jnp.int32(KEY_MIN), jnp.int32)
@@ -288,31 +373,37 @@ def _trace_kernel(row0_ref, tab_ref, key_ref, ent_ref, sdep_ref, pz_ref,
         else:
             total = jnp.maximum(total, m)
 
-    key_ref[:] = total
+    key_ref[0] = total
 
     # Phase 3: winner-field resolve (keys are unique, so a masked max over
     # candidates recovers each winner attribute) — saves the epilogue a
     # per-pixel gather per attribute.
     for jr in range(R):
-        key, sdep = cand_keys(jr)
+        key = keys_scr[jr * n_cands:(jr + 1) * n_cands]
+        sdep = sdeps_scr[jr * n_cands:(jr + 1) * n_cands]
         match = key == total[jr:jr + 1, :]      # at most one candidate true
 
         def pick(field):
             return jnp.max(jnp.where(match, field, jnp.int32(KEY_MIN)),
                            axis=0, keepdims=True)
 
-        ent_ref[jr:jr + 1, :] = pick(fent)
-        sdep_ref[jr:jr + 1, :] = pick(sdep)
-        pz_ref[jr:jr + 1, :] = pick(fpz)
-        rb_ref[jr:jr + 1, :] = pick(f3)
-        px_ref[jr:jr + 1, :] = pick(f0)
-        sid_ref[jr:jr + 1, :] = pick(fsid)
+        ent_ref[0, jr:jr + 1, :] = pick(fent)
+        sdep_ref[0, jr:jr + 1, :] = pick(sdep)
+        pz_ref[0, jr:jr + 1, :] = pick(fpz)
+        rb_ref[0, jr:jr + 1, :] = pick(f3)
+        px_ref[0, jr:jr + 1, :] = pick(f0)
+        sid_ref[0, jr:jr + 1, :] = pick(fsid)
 
 
 def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
                       rows_per_block: int = 8, w_pad: int | None = None,
                       segments=None, row0=None, n_rows: int | None = None):
     """Run the kernel; returns per-pixel winning keys (n_rows, w_pad) int32.
+
+    ``tables`` may carry a leading frame axis (F, n_fields, HH, NC, w_pad):
+    the grid becomes (F, row_blocks) and every output gains the frame axis —
+    one launch traces a whole animation batch with zero per-frame dispatch
+    overhead.  A 4D ``tables`` is the single-frame case (F=1, squeezed).
 
     ``row0``/``n_rows`` select a screen-row window [row0, row0+n_rows) —
     the shard_map row-sharding hook (each shard renders its own window
@@ -322,6 +413,12 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     of ``rows_per_block`` so row blocks stay inside one bin row.
     """
     cfg = config
+    batched = tables.ndim == 5
+    if not batched:
+        tables = tables[None]
+    F = tables.shape[0]
+    # Column-compacted tables carry the extra bin-z field (13 fields).
+    compact = tables.shape[1] > 12
     if n_rows is None:
         n_rows = cfg.view_height
     if row0 is None:
@@ -329,7 +426,7 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     row0 = jnp.asarray(row0, jnp.int32).reshape(1)
     if w_pad is None:
         w_pad = -(-cfg.view_width // 128) * 128
-    n_cands = cfg.hash_length * cfg.bin_capacity
+    n_cands = tables.shape[3]
     nc2 = 1
     while nc2 < n_cands:
         nc2 *= 2
@@ -340,32 +437,52 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
 
     kernel = functools.partial(_trace_kernel, config=cfg,
                                rows_per_block=R, n_cands=n_cands, nc2=nc2,
-                               w_pad=w_pad, segments=segments)
+                               w_pad=w_pad, segments=segments,
+                               compact=compact)
     # Interpreter mode on non-TPU backends (CPU tests validate the kernel
     # logic; compiled Mosaic runs on real TPUs).
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
-    out = jax.ShapeDtypeStruct((n_rows, w_pad), jnp.int32)
-    spec = pl.BlockSpec((R, w_pad), lambda i, *_: (i, 0),
+    out = jax.ShapeDtypeStruct((F, n_rows, w_pad), jnp.int32)
+    spec = pl.BlockSpec((1, R, w_pad), lambda f, i, *_: (f, i, 0),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # row0
-        grid=(n_rows // R,),
+        grid=(F, n_rows // R),
         in_specs=[pl.BlockSpec(
-            (tables.shape[0], 1, n_cands, w_pad),
-            lambda i, row0_ref: (0, (row0_ref[0] + i * R) // bs, 0, 0),
+            (1, tables.shape[1], 1, n_cands, w_pad),
+            lambda f, i, row0_ref: (f, 0, (row0_ref[0] + i * R) // bs, 0, 0),
             memory_space=pltpu.VMEM)],
         out_specs=(spec,) * 7,
         scratch_shapes=[
             pltpu.VMEM((cfg.hash_length * R, w_pad), jnp.int32),
             pltpu.VMEM((cfg.hash_length, w_pad), jnp.int32),
+            pltpu.VMEM((R * n_cands, w_pad), jnp.int32),
+            pltpu.VMEM((R * n_cands, w_pad), jnp.int32),
         ],
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=(out,) * 7,
     )(row0, tables)
+    if not batched:
+        outs = tuple(o[0] for o in outs)
+    return outs
+
+
+def _resolve_depth_params(atlas_color, depth_params, segments):
+    """Normalise the (depth_params, segments) pair: single-ramp params win
+    when present (cheaper than the select chain)."""
+    assert depth_params is not None or segments is not None
+    if depth_params is not None:
+        d0, slope = depth_params
+        segments = None   # single-ramp arithmetic is cheaper than selects
+    else:
+        S = atlas_color.shape[0]
+        d0 = np.zeros(S, np.int32)
+        slope = np.zeros(S, np.int32)
+    return jnp.asarray(d0), jnp.asarray(slope), segments
 
 
 def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
@@ -386,23 +503,33 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
     maps resolve palette indices with select chains instead of a gather.
     """
     cfg = config
+    if n_rows is None:
+        n_rows = cfg.view_height
+    d0, slope, segments = _resolve_depth_params(atlas_color, depth_params,
+                                                segments)
+    w_pad = -(-cfg.view_width // 128) * 128
+    tables = _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent,
+                            counts, cfg, w_pad)
+    winners = trace_keys_pallas(tables, cfg, segments=segments,
+                                row0=row0, n_rows=n_rows)
+    return gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
+                                cfg, bands, rects, row0, n_rows)
+
+
+def gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
+                         config: RenderConfig, bands=None, rects=None,
+                         row0=None, n_rows: int | None = None
+                         ) -> GBufferArrays:
+    """Decode the kernel's per-pixel winner fields into a G-buffer.
+
+    Pure elementwise XLA — batched callers ``jax.vmap`` this over the frame
+    axis of the kernel outputs.
+    """
+    cfg = config
     H, W = cfg.view_height, cfg.view_width
     if n_rows is None:
         n_rows = H
-    assert depth_params is not None or segments is not None
-    if depth_params is not None:
-        d0, slope = depth_params
-        segments = None   # single-ramp arithmetic is cheaper than selects
-    else:
-        S = atlas_color.shape[0]
-        d0 = np.zeros(S, np.int32)
-        slope = np.zeros(S, np.int32)
-    w_pad = -(-W // 128) * 128
-    tables = _expand_tables(pos, ext, sprite_id, jnp.asarray(d0),
-                            jnp.asarray(slope), bins_ent, counts, cfg, w_pad)
-    keys, ent, sdep, pz, rowbase, posx, sid = (
-        a[:, :W] for a in trace_keys_pallas(tables, cfg, segments=segments,
-                                            row0=row0, n_rows=n_rows))
+    keys, ent, sdep, pz, rowbase, posx, sid = (a[:, :W] for a in winners)
 
     # Winner attributes come straight from the kernel; only the per-texel
     # color/normal maps still need gathers.
@@ -454,3 +581,54 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
     entity = jnp.where(hit, ent, 0)
     return GBufferArrays(normal=normal, color=color, y=y, z=z,
                          entity_index=entity)
+
+
+def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
+                                atlas_normal, palette, bins_ent, counts,
+                                dyn_pos, config: RenderConfig, depth_params,
+                                bands=None, rects=None, segments=None,
+                                n_compact: int | None = None
+                                ) -> GBufferArrays:
+    """Primary visibility for a whole animation batch in ONE kernel launch.
+
+    ``bins_ent`` (F, V, cap) / ``counts`` (F, V): per-frame bin tables (from
+    a vmapped StaticBins.merge).  ``dyn_pos`` (F, D, 3): per-frame positions
+    of the leading D dynamic entities (the reference's player is entity 0,
+    alternative.cpp:643-660); the static ``pos`` array is shared across
+    frames.  Returns a G-buffer whose arrays lead with the frame axis.
+
+    The table expansion and epilogue are the single-frame functions under
+    ``jax.vmap`` (one big XLA op per stage instead of F small ones); the
+    kernel itself runs on a (F, row_blocks) grid.
+    """
+    cfg = config
+    d0, slope, segments = _resolve_depth_params(atlas_color, depth_params,
+                                                segments)
+    w_pad = -(-cfg.view_width // 128) * 128
+
+    def winners_with(ncc):
+        def fn():
+            tables = jax.vmap(
+                lambda be, cnt, dp: _expand_tables(
+                    pos, ext, sprite_id, d0, slope, be, cnt, cfg, w_pad,
+                    dyn_pos=dp, n_compact=ncc)
+            )(bins_ent, counts, dyn_pos)
+            return trace_keys_pallas(tables, cfg, segments=segments)
+        return fn
+
+    if n_compact is None:
+        winners = winners_with(None)()
+    else:
+        # Column-live totals can exceed the compact bound on hostile
+        # frames: reroute the batch to the uncompacted kernel (exact for
+        # any scene) rather than silently dropping candidates.
+        HH, HL = cfg.hash_height, cfg.hash_length
+        col_live = counts.reshape(counts.shape[0], cfg.hash_width, HH,
+                                  HL).sum(axis=3)
+        ok = jnp.max(col_live) <= n_compact
+        winners = jax.lax.cond(ok, winners_with(n_compact),
+                               winners_with(None))
+    return jax.vmap(
+        lambda w: gbuffer_from_winners(w, atlas_color, atlas_normal,
+                                       palette, cfg, bands, rects)
+    )(winners)

@@ -111,6 +111,15 @@ def render_frames_shardmap(anim_renderer, dscene, player_pos, lights,
     def shard_fn(ds, players_l, lights_l):
         row0 = jax.lax.axis_index(row_axis) * n_rows
 
+        if RP == 1 and anim_renderer._batched_capable(ds):
+            # Frame-only sharding: each shard renders its local frames
+            # through the whole-batch pipeline (models/batched.py) — both
+            # kernels launch once per shard on a (local_frames, row_blocks)
+            # grid.
+            from ..models.batched import render_states_batched
+
+            return render_states_batched(r, cache, ds, players_l, lights_l)
+
         def body(_, pl):
             p, l = pl
             scene_f = ds._replace(pos=ds.pos.at[0].set(p))

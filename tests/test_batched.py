@@ -1,0 +1,139 @@
+"""The whole-batch renderer (models/batched.py) must be pixel-identical to
+the per-frame scan path: both Pallas kernels launch once on a
+(frames, row_blocks) grid and every XLA prep stage is frame-batched, so any
+divergence is a bug in the batching, not the semantics (which are the same
+single-frame functions under vmap).  Reference per-frame loop:
+alternative.cpp:628-817.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pixel_art_raytracer_tpu.config import DEFAULT_CONFIG
+from pixel_art_raytracer_tpu.scene import demo_world, default_light
+from pixel_art_raytracer_tpu.models.deferred import (DeferredRenderer,
+                                                     DeviceScene)
+from pixel_art_raytracer_tpu.models.animation import AnimationRenderer
+from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
+from pixel_art_raytracer_tpu.ops import shadow_fast
+
+
+def make_anim(scene, batched, static_bins=True, **kw):
+    cfg = DEFAULT_CONFIG
+    tables = shadow_fast.default_tables(cfg, max_candidates=1024)
+    r = DeferredRenderer(cfg, shadow_impl="pallas", trace_impl="auto",
+                         shadow_tables=tables, **kw)
+    r.configure_for(scene)
+    cache = (StaticBins(scene.pos, scene.ext, 1, cfg, r.spans)
+             if static_bins else None)
+    return AnimationRenderer(r, cfg, static_bins=cache, batched=batched)
+
+
+def sweep(anim, scene, n):
+    light = default_light()
+    return anim.light_sweep_states(n, scene.pos[0],
+                                   center=(light.x, light.y, light.z),
+                                   radius=40)
+
+
+class TestBatchedParity:
+    def test_matches_scan_path(self):
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        a_scan = make_anim(scene, batched=False)
+        a_bat = make_anim(scene, batched=True)
+        assert a_bat._batched_capable(ds)
+        players, lights = sweep(a_scan, scene, 3)
+        # Move the player too: the batched bin merge and dynamic-entity
+        # overrides must track per-frame positions.
+        players = players.at[1, 0].add(25).at[2, 2].add(-15)
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)
+
+    def test_matches_without_static_bins(self):
+        scene = demo_world(6)
+        ds = DeviceScene.from_scene(scene)
+        a_scan = make_anim(scene, batched=False)
+        a_bat = make_anim(scene, batched=True, static_bins=False)
+        players, lights = sweep(a_scan, scene, 2)
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)
+
+    def test_guard_reroutes_far_light_batch(self):
+        # One frame's light is far outside the grid: the batch-level guard
+        # must reroute to the exact dynamic march and still match the scan
+        # path (whose per-frame guard does the same).
+        scene = demo_world(8)
+        ds = DeviceScene.from_scene(scene)
+        a_scan = make_anim(scene, batched=False)
+        a_bat = make_anim(scene, batched=True)
+        players, lights = sweep(a_scan, scene, 2)
+        lights = lights.at[1].set(jnp.asarray([2000, 900, 80], jnp.int32))
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)
+
+    def test_dithered_style(self):
+        scene = demo_world(6)
+        ds = DeviceScene.from_scene(scene)
+        a_scan = make_anim(scene, batched=False, style="dithered")
+        a_bat = make_anim(scene, batched=True, style="dithered")
+        players, lights = sweep(a_scan, scene, 2)
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)
+
+
+class TestMembershipWords:
+    def test_words_equal_dense_membership(self):
+        cfg = DEFAULT_CONFIG
+        tables = shadow_fast.default_tables(cfg)
+        for lb in [(12, 2, 2), (0, 8, 11), (-3, 0, 30)]:
+            lbj = tuple(jnp.int32(v) for v in lb)
+            dense = np.asarray(shadow_fast.dda_membership(lbj, cfg, tables))
+            words = shadow_fast.dda_membership_words(lbj, cfg, tables)
+            unpacked = np.asarray(
+                shadow_fast.unpack_member_words(words, cfg))
+            np.testing.assert_array_equal(unpacked, dense, err_msg=str(lb))
+
+    def test_words_match_packed_dense(self):
+        from pixel_art_raytracer_tpu.ops.shadow_pallas import (
+            pack_member_words)
+
+        cfg = DEFAULT_CONFIG
+        tables = shadow_fast.default_tables(cfg)
+        lb = tuple(jnp.int32(v) for v in (5, 3, 1))
+        dense = shadow_fast.dda_membership(lb, cfg, tables)
+        np.testing.assert_array_equal(
+            np.asarray(shadow_fast.dda_membership_words(lb, cfg, tables)),
+            np.asarray(pack_member_words(dense)))
+
+
+class TestTraceCompaction:
+    def test_compact_bound_derived_and_parity(self):
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        a_bat = make_anim(scene, batched=True).enable_trace_compaction()
+        assert a_bat.trace_compact is not None
+        assert a_bat.trace_compact % 8 == 0
+        a_scan = make_anim(scene, batched=False)
+        players, lights = sweep(a_scan, scene, 2)
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)
+
+    def test_overflow_reroutes_to_uncompacted(self):
+        # A deliberately too-small bound must reroute (lax.cond) to the
+        # uncompacted kernel and still match the scan path exactly.
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        a_scan = make_anim(scene, batched=False)
+        a_bat = make_anim(scene, batched=True).enable_trace_compaction()
+        a_bat.trace_compact = 8            # demo columns exceed this
+        players, lights = sweep(a_scan, scene, 2)
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)

@@ -107,3 +107,35 @@ class TestShardedTraining:
         assert abs(float(loss_ref) - float(loss_sh)) < 1e-6
         np.testing.assert_allclose(np.asarray(l_ref), np.asarray(l_sh),
                                    rtol=1e-5)
+
+
+class TestEntitySharded:
+    def test_matches_unsharded_render(self):
+        # TP analog: entity list sharded 8 ways.  The scene stays inside
+        # the documented exactness envelope (parallel/entity_sharded.py):
+        # no bin-capacity overflow, no cross-bin depth-key ties, and
+        # early-exit disabled (its counter depends on GLOBAL bin occupancy,
+        # which per-shard bins cannot see).
+        import dataclasses
+
+        from pixel_art_raytracer_tpu.parallel import (
+            make_entity_mesh, render_frame_entity_sharded)
+
+        cfg = dataclasses.replace(SMALL, early_exit=False)
+        b = SceneBuilder(config=cfg)
+        b.insert((30, 28, 16), (16, 16, 16))          # player
+        for i in range(5):                            # sparse floor tiles:
+            for j in range(3):                        # <= 4 per bin (cap 8)
+                b.insert((i * 16, 0, j * 26), (12, 12, 12))
+        scene = b.build()                             # 16 total = 8 x 2
+
+        r = DeferredRenderer(cfg, shadow_impl="scan", trace_impl="jnp",
+                             shadow_max_steps=8)
+        r.spans = r.spans_for(scene)
+        ds = DeviceScene.from_scene(scene, cfg)
+        light = jnp.asarray([60, 60, 20], jnp.int32)
+
+        mesh = make_entity_mesh(8)
+        sharded = np.asarray(render_frame_entity_sharded(r, ds, light, mesh))
+        ref = np.asarray(r.render(ds, light))
+        np.testing.assert_array_equal(sharded, ref)
