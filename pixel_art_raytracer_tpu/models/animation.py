@@ -99,6 +99,15 @@ class AnimationRenderer:
         # back to 8 otherwise).  Whole-bin-row blocks amortise the
         # per-candidate scalar loads (190 vs 182 Mrays/s on v5e graybox).
         self.shadow_rows = 40
+        # Lane tiles per shadow row block, each with its own exact pruned
+        # candidate list (per-corridor pruning, vectorized): 128-lane tiles
+        # see only ~3 of the 12 start columns, roughly halving candidate
+        # work.  1 = whole-width blocks.
+        self.shadow_lane_groups = 1
+        # Trace-kernel screen rows per block (must divide bin_size and the
+        # view height).  Bigger blocks cut grid steps but grow the VMEM
+        # keys stash and the unrolled phase code.
+        self.trace_rows = 8
         # Trace-kernel column compaction bound (opt-in via
         # enable_trace_compaction()): fewer candidate rows, but the per-bin
         # masked maxima the early-exit bookkeeping then needs measured
@@ -167,7 +176,9 @@ class AnimationRenderer:
             return render_states_batched(self.renderer, self.static_bins,
                                          dscene, player_pos, lights,
                                          shadow_rows=self.shadow_rows,
-                                         trace_compact=self.trace_compact)
+                                         trace_compact=self.trace_compact,
+                                         lane_groups=self.shadow_lane_groups,
+                                         trace_rows=self.trace_rows)
         G = self.frames_per_step
         while F % G:
             G -= 1

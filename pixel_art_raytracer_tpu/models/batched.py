@@ -38,7 +38,10 @@ def _padw(a, w_pad):
 
 def render_states_batched(renderer, static_bins, dscene, players, lights,
                           shadow_rows: int = 8,
-                          trace_compact: int | None = None) -> jax.Array:
+                          trace_compact: int | None = None,
+                          lane_groups: int = 1,
+                          trace_rows: int = 8,
+                          upto: str | None = None) -> jax.Array:
     """Render F frames as one batched device program.
 
     ``renderer``: a DeferredRenderer configured for the scene (Pallas trace
@@ -49,6 +52,10 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     bin size and the view height; bigger blocks amortise the per-candidate
     scalar loads).  Returns (F, H, W, 3) uint8, pixel-identical to the
     scan path.
+
+    ``upto`` (profiling only): stop after a stage and return a small
+    checksum array instead of frames — one of "bins", "trace", "prep"
+    (everything up to the shadow-kernel launch), "shadow".
     """
     r = renderer
     cfg: RenderConfig = r.config
@@ -78,6 +85,9 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             lambda p: binning.build_bins(dscene.pos.at[0].set(p),
                                          dscene.ext, cfg, r.spans))(players)
 
+    if upto == "bins":
+        return counts.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+
     # -- 2. primary visibility: one kernel launch for the whole batch -------
     r._traced = True
     params = (None if dscene.depth_d0 is None
@@ -89,7 +99,13 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
         dscene.atlas_normal, dscene.palette, bins_ent, counts, dyn_pos,
         cfg, params, r.normal_bands, r.color_rects, r.depth_segments,
-        n_compact=ncc)
+        n_compact=ncc, rows_per_block=trace_rows)
+
+    if upto == "trace":
+        mix = (gbuf.entity_index + gbuf.y + gbuf.z
+               + gbuf.color.sum(-1).astype(jnp.int32)
+               + gbuf.normal.sum(-1).astype(jnp.int32))
+        return mix.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
 
     # -- 3. shadow prep, all frames at once ----------------------------------
     tl, inv, origin, rb, lb = jax.vmap(
@@ -98,6 +114,12 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     words = jax.vmap(
         lambda lbf: shadow_fast.dda_membership_words(lbf, cfg, tables))(lb)
     n_words = words.shape[-1]
+
+    if upto == "geom":
+        return (inv[0].reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                + tl[0].reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                + rb[2].reshape(F, -1).sum(axis=1)
+                + words.reshape(F, -1).sum(axis=1).astype(jnp.int32))
 
     # tested_any per frame from the word OR over starts (no dense member).
     any_words = jax.lax.reduce(words, jnp.uint32(0), jax.lax.bitwise_or,
@@ -117,11 +139,22 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     # background start row; wy+wz == world_j >= 1 for hits.
     bg = _padw(((gbuf.y + gbuf.z) == 0).astype(jnp.int32), w_pad)
 
+    if upto == "cands":
+        return (cands.bin.reshape(F, -1).sum(axis=1)
+                + szidx.reshape(F, -1).sum(axis=1)
+                + bg.reshape(F, -1).sum(axis=1))
+
     member = jax.vmap(
         lambda w: shadow_fast.unpack_member_words(w, cfg))(words)
+    G = lane_groups if w_pad % (lane_groups * 128) == 0 else 1
     rel = jax.vmap(
         lambda m, s, b: shadow_pallas.used_block_relevance(
-            m, s, b, cfg, tables, R))(member, szidx, bg)
+            m, s, b, cfg, tables, R,
+            lane_groups=None if G == 1 else G))(member, szidx, bg)
+    if upto == "rel":
+        return (rel.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+                + member.reshape(F, -1).sum(axis=1, dtype=jnp.int32))
+
     lists, blk_counts = jax.vmap(
         shadow_pallas.candidate_lists_from_relevance)(cands, rel)
     t_row, t_bg = jax.vmap(
@@ -135,11 +168,21 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     oy_p, oz_p = _padw(origin[1], w_pad), _padw(origin[2], w_pad)
     iv_p = tuple(_padw(a, w_pad) for a in inv)
 
+    if upto == "prep":
+        return (blk_counts.reshape(F, -1).sum(axis=1)
+                + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+                + t_row.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                + cbin.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+                + box.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                + iv_p[0].reshape(F, -1).sum(axis=1).astype(jnp.int32))
+
     def fast_lit():
         lit_pad = shadow_pallas.shadow_call_batched(
-            blk_counts, cbin, lists.reshape(F, -1, M // 128, 128),
+            blk_counts.reshape(F, -1), cbin,
+            lists.reshape(F, H // R, -1, 128),
             box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
-            iv_p[0], iv_p[1], iv_p[2], cfg, tables, rows_per_block=R)
+            iv_p[0], iv_p[1], iv_p[2], cfg, tables, rows_per_block=R,
+            lane_groups=G)
         return lit_pad[:, :, :W] > 0
 
     if r.shadow_guard == "fallback":
@@ -173,6 +216,9 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         lit = jax.lax.cond(ok, fast_lit, slow_lit)
     else:
         lit = fast_lit()
+
+    if upto == "shadow":
+        return lit.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
 
     # -- 5. shade -------------------------------------------------------------
     factor = shade_ops.brightness_factor(gbuf.normal, tl, lit, cfg)

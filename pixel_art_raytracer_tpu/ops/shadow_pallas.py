@@ -75,7 +75,7 @@ def block_candidate_lists(cands: Candidates, member, rows_per_block: int,
 
 def used_block_relevance(member, szidx, bg, config: RenderConfig,
                          tables: ShadowTables, rows_per_block: int,
-                         row0=0):
+                         row0=0, lane_groups: int | None = None):
     """Exact per-block bin relevance from the frame's *actual* start bins.
 
     ``block_candidate_lists`` prunes by which starts are reachable; this
@@ -85,7 +85,13 @@ def used_block_relevance(member, szidx, bg, config: RenderConfig,
     present start is exact — every pixel's membership bit for it is zero.
 
     ``row0``: absolute screen row of szidx/bg's first row (row-sharded
-    windows pass their shard offset).  Returns rel: (NB, V) bool.
+    windows pass their shard offset).
+
+    ``lane_groups``: split each row block into that many lane tiles and
+    prune per (block, tile) — the vectorizable form of per-corridor
+    candidate lists (a tile sees only ~3 of the 12 start columns, roughly
+    halving the surviving candidates).  None returns (NB, V); an int
+    returns (NB, G, V).
     """
     cfg = config
     W = cfg.view_width
@@ -94,51 +100,59 @@ def used_block_relevance(member, szidx, bg, config: RenderConfig,
     SX = cfg.hash_width
     SY = cfg.hash_height + 1
     SZ = tables.sz_hi - tables.sz_lo
+    G = lane_groups or 1
+    tw = szidx.shape[1] // G           # lanes per tile (of the padded width)
 
     sz = szidx[:, :W]
     isbg = (bg[:, :W] > 0)
 
     f32 = jnp.float32
-    lane_sx = np.minimum(np.arange(W) // cfg.bin_size, SX - 1)
-    lane_ind = jnp.asarray(np.eye(SX, dtype=np.float32)[lane_sx])  # (W, SX)
+    lanes = np.arange(W)
+    lane_sx = np.minimum(lanes // cfg.bin_size, SX - 1)
+    # (W, G, SX) 0/1: lane w contributes to tile w // tw, column sx(w).
+    lane_ind = np.zeros((W, G, SX), np.float32)
+    lane_ind[lanes, np.minimum(lanes // tw, G - 1), lane_sx] = 1.0
+    lane_ind = jnp.asarray(lane_ind)
 
     # All contractions in f32 on the MXU (int einsums run as slow vector
     # loops); values are 0/1 with sums << 2^24, so results are exact.
     oh = ((sz[..., None] == jnp.arange(SZ, dtype=jnp.int32))
           & ~isbg[..., None]).astype(f32)                         # (h, W, SZ)
-    pres = jnp.einsum("hws,wx->hxs", oh, lane_ind,
+    pres = jnp.einsum("hws,wgx->hgxs", oh, lane_ind,
                       preferred_element_type=f32)
-    pres = (pres.reshape(NB, R, SX, SZ).sum(axis=1) > 0)          # (NB, SX, SZ)
-    presbg = jnp.einsum("hw,wx->hx", isbg.astype(f32), lane_ind,
+    pres = (pres.reshape(NB, R, G, SX, SZ).sum(axis=1) > 0)
+    presbg = jnp.einsum("hw,wgx->hgx", isbg.astype(f32), lane_ind,
                         preferred_element_type=f32)
-    presbg = (presbg.reshape(NB, R, SX).sum(axis=1) > 0)          # (NB, SX)
+    presbg = (presbg.reshape(NB, R, G, SX).sum(axis=1) > 0)       # (NB, G, SX)
 
     m = member.reshape(SX, SY, SZ, -1)
     block_sy = (jnp.asarray(row0, jnp.int32)
                 + jnp.arange(NB, dtype=jnp.int32) * R) // cfg.bin_size
     mrows = jnp.moveaxis(m[:, block_sy], 1, 0)                    # (NB, SX, SZ, V)
-    rel = jnp.einsum("bxs,bxsv->bv", pres.astype(f32),
+    rel = jnp.einsum("bgxs,bxsv->bgv", pres.astype(f32),
                      mrows.astype(f32), preferred_element_type=f32) > 0
 
     from .cstyle import c_div
 
     sy_bg = min(int(c_div(cfg.view_height, cfg.bin_size)), SY - 1)
     mbg = m[:, sy_bg, -tables.sz_lo]                              # (SX, V)
-    rel = rel | (jnp.einsum("bx,xv->bv", presbg.astype(f32),
+    rel = rel | (jnp.einsum("bgx,xv->bgv", presbg.astype(f32),
                             mbg.astype(f32),
                             preferred_element_type=f32) > 0)
-    return rel
+    return rel[:, 0] if lane_groups is None else rel
 
 
 def candidate_lists_from_relevance(cands: Candidates, rel):
-    """Compact candidate index lists from an (NB, V) relevance map.
+    """Compact candidate index lists from an (NB, V) or (NB, G, V)
+    relevance map.
 
     Per-row stable argsort (a cumsum+scatter variant measured slower on
-    TPU — cumsum is a sequential scan there).
+    TPU — cumsum is a sequential scan there).  Returns lists shaped like
+    ``rel`` with V replaced by M, and counts shaped like ``rel[..., 0]``.
     """
-    relc = cands.valid[None, :] & rel[:, cands.bin]               # (NB, M)
-    counts = relc.sum(axis=1).astype(jnp.int32)
-    order = jnp.argsort(~relc, axis=1, stable=True)
+    relc = cands.valid & rel[..., cands.bin]              # (NB[, G], M)
+    counts = relc.sum(axis=-1).astype(jnp.int32)
+    order = jnp.argsort(~relc, axis=-1, stable=True)
     return order.astype(jnp.int32), counts
 
 
@@ -183,9 +197,12 @@ def lane_member_tables(member_words, config: RenderConfig,
         lo = (r2 & jnp.uint32(0xffff)).astype(jnp.float32)
         hi = (r2 >> jnp.uint32(16)).astype(jnp.float32)
         dn = (((1,), (0,)), ((), ()))
-        lo_l = jax.lax.dot_general(lo, sel, dn,
+        # precision=HIGHEST is load-bearing: the TPU default lowers f32
+        # matmuls to one bf16 pass, truncating the 16-bit word halves.
+        hp = jax.lax.Precision.HIGHEST
+        lo_l = jax.lax.dot_general(lo, sel, dn, precision=hp,
                                    preferred_element_type=jnp.float32)
-        hi_l = jax.lax.dot_general(hi, sel, dn,
+        hi_l = jax.lax.dot_general(hi, sel, dn, precision=hp,
                                    preferred_element_type=jnp.float32)
         out = (lo_l.astype(jnp.uint32)
                | (hi_l.astype(jnp.uint32) << jnp.uint32(16)))
@@ -207,19 +224,26 @@ def lane_member_tables(member_words, config: RenderConfig,
 def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
                    trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref, oz_ref,
                    ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref, bitmap_scr,
-                   *, w_pad: int, rows: int, n_words: int, n_sz: int):
+                   *, w_pad: int, rows: int, n_words: int, n_sz: int,
+                   lane_groups: int = 1, mq: int = 0):
     """Row-block body on a (frames, row_blocks) grid — every block carries a
     leading frame dim of 1, so one launch shades a whole animation batch.
     Per-block pruned candidate counts, flat-bin ids, and the pruned index
     lists stream through blocked SMEM inputs (whole SMEM tables would be
     buffered per grid step, blowing the 1 MB budget); box corners / entity
     ids live in VMEM and are read with scalar loads.
+
+    ``lane_groups`` > 1 splits the block into that many 128-multiple lane
+    tiles, each streaming its own (smaller) pruned candidate list — the
+    vectorizable form of per-corridor candidate pruning (VERDICT #4).
     """
     block = pl.program_id(1)
-    n = counts_ref[0, 0, block]
+    g = pl.program_id(2)
     R = rows
+    G = lane_groups
+    gw = w_pad // G
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, w_pad), 1)
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (R, gw), 1) + g * gw)
     ox = lane.astype(jnp.float32)
     oy = oy_ref[0]
     oz = oz_ref[0]
@@ -230,7 +254,7 @@ def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
     szidx = szidx_ref[0]
     bg = bg_ref[0] > 0
 
-    # Build this block's per-pixel membership bitmap in VMEM: select the
+    # Build this tile's per-pixel membership bitmap in VMEM: select the
     # lane-vector of words by each pixel's sz (or the background row).
     for w in range(n_words):
         acc = jnp.where(bg, tbg_ref[0, w:w + 1, :], jnp.uint32(0))
@@ -239,10 +263,10 @@ def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
             acc = jnp.where(~bg & (szidx == s), rowvec, acc)
         bitmap_scr[w] = acc
     # Dedicated always-zero word: padded/invalid candidates index it.
-    bitmap_scr[n_words] = jnp.zeros((R, w_pad), jnp.uint32)
+    bitmap_scr[n_words] = jnp.zeros((R, gw), jnp.uint32)
 
     def chunk_body(i, occ):
-        # Candidates stream in chunks of 8 through this block's *pruned*
+        # Candidates stream in chunks of 8 through this tile's *pruned*
         # index list (lists_ref, SMEM); all parameter reads are scalar
         # loads.  Padded/invalid candidates point at the dedicated
         # always-zero bitmap word.
@@ -250,20 +274,24 @@ def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
 
         for cc in range(8):
             m = c0 + cc
-            c = lists_ref[0, 0, m // 128, m % 128]
+            c = lists_ref[0, 0, 0, m // 128, m % 128]
             b_c = cbin_ref[0, c // 128, c % 128]   # scalar flat-ish bin id
             word_c = b_c // 32
             bit_c = b_c % 32
-            # Scalar loads from the VMEM tables: scalars broadcast freely
-            # into the [R, w_pad] vector math (vector extracts would need a
-            # both-dims broadcast, which Mosaic lacks).
-            px = box_ref[0, c, 0]
-            py = box_ref[0, c, 1]
-            pz = box_ref[0, c, 2]
-            qx = box_ref[0, c, 3]
-            qy = box_ref[0, c, 4]
-            qz = box_ref[0, c, 5]
-            ent_c = centi_ref[0, c, 0]
+            # Scalar loads from the SMEM tables: scalars broadcast freely
+            # into the [R, gw] vector math (vector extracts would need a
+            # both-dims broadcast, which Mosaic lacks).  Candidate c's box
+            # corners live at flat [c*8, c*8+6) of the 128-minor table —
+            # 8 | 128, so one candidate's fields share a row.
+            bq = c // 16
+            br = (c % 16) * 8
+            px = box_ref[0, bq, br]
+            py = box_ref[0, bq, br + 1]
+            pz = box_ref[0, bq, br + 2]
+            qx = box_ref[0, bq, br + 3]
+            qy = box_ref[0, bq, br + 4]
+            qz = box_ref[0, bq, br + 5]
+            ent_c = centi_ref[0, c // 128, c % 128]
 
             w = bitmap_scr[word_c]
             member = ((w >> bit_c.astype(jnp.uint32)) & jnp.uint32(1)) > 0
@@ -293,22 +321,25 @@ def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
             occ = occ | occ_new.astype(jnp.int32)
         return occ
 
-    occ0 = jnp.zeros((R, w_pad), jnp.int32)
-    n_chunks = (n + 7) // 8
-    occluded = jax.lax.fori_loop(0, n_chunks, chunk_body, occ0)
+    n = counts_ref[0, 0, block * G + g]
+    occ0 = jnp.zeros((R, gw), jnp.int32)
+    occluded = jax.lax.fori_loop(0, (n + 7) // 8, chunk_body, occ0)
     out_ref[0] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
 
 
 def shadow_call_batched(blk_counts, cbin, lists, box, centi, t_row, t_bg,
                         szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
                         config: RenderConfig, tables: ShadowTables,
-                        rows_per_block: int = 8) -> jax.Array:
+                        rows_per_block: int = 8,
+                        lane_groups: int = 1) -> jax.Array:
     """Launch the shadow kernel on a (frames, row_blocks) grid.
 
     Every argument leads with the frame axis F (single-frame callers pass
-    F=1):
-      blk_counts (F, NB) i32, cbin (F, Mq, 128) i32,
-      lists (F, NB, Mq, 128) i32, box (F, M, 8) f32, centi (F, M, 8) i32,
+    F=1); with ``lane_groups`` G > 1 each row block carries G per-lane-tile
+    candidate lists:
+      blk_counts (F, NB*G) i32, cbin (F, Mq, 128) i32,
+      lists (F, NB, G*Mq, 128) i32, box (F, M//16, 128) f32 (packed
+      corners), centi (F, Mq, 128) i32,
       t_row (F, n_sy, SZ*nw, w_pad) u32, t_bg (F, nw, w_pad) u32,
       pixel inputs (F, h, w_pad).
     Returns lit (F, h, w_pad) int32 (1 = reachable).
@@ -316,82 +347,92 @@ def shadow_call_batched(blk_counts, cbin, lists, box, centi, t_row, t_bg,
     cfg = config
     F, H, w_pad = oy.shape
     R = rows_per_block
+    G = lane_groups
     NB = H // R
     SZ = tables.sz_hi - tables.sz_lo
     n_words = t_bg.shape[1]
-    M = box.shape[1]
-    Mq = M // 128
+    Mq = cbin.shape[1]
+    M = Mq * 128
     bpr = cfg.bin_size // R            # row blocks per bin row
+    assert w_pad % (G * 128) == 0, "lane groups must be 128-lane multiples"
 
     kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
-                               n_words=n_words, n_sz=SZ)
+                               n_words=n_words, n_sz=SZ, lane_groups=G)
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    gw = w_pad // G
 
     def pix():
-        return pl.BlockSpec((1, R, w_pad), lambda f, i: (f, i, 0),
+        return pl.BlockSpec((1, R, gw), lambda f, i, g: (f, i, g),
                             memory_space=pltpu.VMEM)
 
     # SMEM operands are buffered per grid step: whole tables must not ride
     # scalar prefetch (F x their size would blow the budget), but *blocked*
     # SMEM specs only buffer their few-KB block — counts, bin ids, and the
-    # per-block pruned candidate list use that.  Box/entity parameter
-    # tables live in VMEM (scalar loads).
+    # per-tile pruned candidate list use that.  Box/entity parameter
+    # tables live in VMEM (scalar loads).  Lane groups ride the third grid
+    # axis: every pixel operand is lane-blocked to the tile.
     grid_spec = pl.GridSpec(
-        grid=(F, NB),
+        grid=(F, NB, G),
         in_specs=[
             # The unit middle axis keeps the SMEM block's trailing dims
             # equal to the array's (the TPU lowering requires it).
-            pl.BlockSpec((1, 1, NB), lambda f, i: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # per-block counts
-            pl.BlockSpec((1, Mq, 128), lambda f, i: (f, 0, 0),
+            pl.BlockSpec((1, 1, NB * G), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # per-(block,g) counts
+            pl.BlockSpec((1, Mq, 128), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # candidate bin ids
-            pl.BlockSpec((1, 1, Mq, 128), lambda f, i: (f, i, 0, 0),
+            pl.BlockSpec((1, 1, 1, Mq, 128),
+                         lambda f, i, g: (f, i, g, 0, 0),
                          memory_space=pltpu.SMEM),    # pruned index lists
-            pl.BlockSpec((1, M, 8), lambda f, i: (f, 0, 0),
-                         memory_space=pltpu.VMEM),    # box corners
-            pl.BlockSpec((1, M, 8), lambda f, i: (f, 0, 0),
-                         memory_space=pltpu.VMEM),    # candidate entity ids
-            pl.BlockSpec((1, 1, SZ * n_words, w_pad),
-                         lambda f, i: (f, i // bpr, 0, 0),
+            pl.BlockSpec((1, M // 16, 128), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # box corners (packed)
+            pl.BlockSpec((1, Mq, 128), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # candidate entity ids
+            pl.BlockSpec((1, 1, SZ * n_words, gw),
+                         lambda f, i, g: (f, i // bpr, 0, g),
                          memory_space=pltpu.VMEM),    # t_row (per bin row)
-            pl.BlockSpec((1, n_words, w_pad), lambda f, i: (f, 0, 0),
+            pl.BlockSpec((1, n_words, gw), lambda f, i, g: (f, 0, g),
                          memory_space=pltpu.VMEM),    # t_bg
             pix(), pix(), pix(), pix(), pix(), pix(), pix(), pix(),
         ],
-        out_specs=pl.BlockSpec((1, R, w_pad), lambda f, i: (f, i, 0),
+        out_specs=pl.BlockSpec((1, R, gw), lambda f, i, g: (f, i, g),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_words + 1, R, w_pad), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((n_words + 1, R, gw), jnp.uint32)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, H, w_pad), jnp.int32),
         interpret=interpret,
-    )(blk_counts[:, None, :], cbin, lists, box, centi, t_row, t_bg,
+    )(blk_counts[:, None, :], cbin,
+      lists.reshape(F, NB, G, Mq, 128), box, centi, t_row, t_bg,
       szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)
 
 
 def candidate_param_tables(cands: Candidates, n_words: int):
     """Kernel-layout candidate parameter tables from a Candidates pytree.
 
-    Returns (cbin (Mq, 128) i32, box (M, 8) f32, centi (M, 8) i32); invalid
-    or padded candidates point at the always-zero bitmap word and an
-    impossible entity id.  Vmappable over a frame axis.
+    Returns (cbin (Mq, 128) i32, boxp (M//16, 128) f32, cent (Mq, 128) i32)
+    with Mq = M // 128; candidate c's six box corners sit at flat positions
+    [c*8, c*8+6) of boxp (8 | 128, so one candidate never straddles a
+    row — the kernel reads them with single-row scalar loads).  All three
+    tables are 128-minor so they ride SMEM without padding blow-up (an
+    (M, 8)-shaped SMEM window allocates lane-padded, 16x the bytes).
+    Invalid or padded candidates point at the always-zero bitmap word and
+    an impossible entity id.  Vmappable over a frame axis.
     """
     M = cands.bin.shape[0]
     cbin = jnp.where(cands.valid, cands.bin, n_words * 32).astype(jnp.int32)
     box = jnp.zeros((M, 8), jnp.float32)
     box = box.at[:, 0:3].set(cands.pmin).at[:, 3:6].set(cands.pmax)
-    centi = jnp.broadcast_to(
-        jnp.where(cands.valid, cands.ent, -(10 ** 9))[:, None],
-        (M, 8)).astype(jnp.int32)
-    return cbin.reshape(M // 128, 128), box, centi
+    cent = jnp.where(cands.valid, cands.ent, -(10 ** 9)).astype(jnp.int32)
+    return (cbin.reshape(M // 128, 128), box.reshape(M // 16, 128),
+            cent.reshape(M // 128, 128))
 
 
 def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
                        cands: Candidates, config: RenderConfig,
                        tables: ShadowTables, rows_per_block: int = 8,
-                       row0=0) -> jax.Array:
+                       row0=0, lane_groups: int = 1) -> jax.Array:
     """Single-frame kernel driver (the F=1 case of the batched launch).
 
     Pixel inputs are (h, w_pad)-shaped (szidx is the clamped sz table index,
@@ -402,12 +443,14 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     H = oy.shape[0]
     w_pad = oy.shape[1]
     R = rows_per_block
+    G = lane_groups
 
     member_words = pack_member_words(member)
     n_words = member_words.shape[1]
     t_row, t_bg = lane_member_tables(member_words, cfg, tables, R, w_pad,
                                      row0=row0, n_rows=H)
-    rel = used_block_relevance(member, szidx, bg, cfg, tables, R, row0=row0)
+    rel = used_block_relevance(member, szidx, bg, cfg, tables, R, row0=row0,
+                               lane_groups=None if G == 1 else G)
     lists, blk_counts = candidate_lists_from_relevance(cands, rel)
 
     M = cands.bin.shape[0]
@@ -415,10 +458,10 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     cbin, box, centi = candidate_param_tables(cands, n_words)
 
     lit = shadow_call_batched(
-        blk_counts[None], cbin[None],
-        lists.reshape(-1, M // 128, 128)[None], box[None], centi[None],
+        blk_counts.reshape(-1)[None], cbin[None],
+        lists.reshape(H // R, -1, 128)[None], box[None], centi[None],
         t_row[None], t_bg[None],
         szidx[None], bg[None], start_ent[None],
         oy[None], oz[None], ivx[None], ivy[None], ivz[None],
-        cfg, tables, rows_per_block=R)
+        cfg, tables, rows_per_block=R, lane_groups=G)
     return lit[0]

@@ -249,8 +249,12 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
     sel = lane_select_matrix(cfg, w_pad)
     NCt = stacked.shape[2]
     flat = stacked.reshape(F * HH * NCt, HW).astype(jnp.float32)
+    # precision=HIGHEST is load-bearing: the TPU default lowers f32
+    # matmuls to one bf16 pass, silently truncating any field needing
+    # more than 8 mantissa bits (entity ids!).  Measured cost: nil (K=12).
     lanes = jax.lax.dot_general(
         flat, sel, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     return lanes.astype(jnp.int32).reshape(F, HH, NCt, w_pad)
 
@@ -319,13 +323,17 @@ def _trace_kernel(row0_ref, tab_ref, key_ref, ent_ref, sdep_ref, pz_ref,
     block = pl.program_id(1)
     j0 = row0_ref[0] + block * R
 
+    # Row-independent pieces of the hit test and key, hoisted out of the
+    # per-row phases (the lane span and candidate tie-break don't change
+    # with jr).
+    lane_ok = (valid > 0) & (lane_i >= f0) & (lane_i < f1)
+    tie = nc2 - 1 - cand_i
+
     def cand_keys(jr):
         """Per-candidate keys (and sdep) for screen row j0+jr."""
         world_j = H - (j0 + jr)
         row = f3 - world_j
-        hit = ((valid > 0)
-               & (lane_i >= f0) & (lane_i < f1)
-               & (world_j > f2) & (world_j <= f3))
+        hit = lane_ok & (world_j > f2) & (world_j <= f3)
         if segments is None:
             sdep = jnp.maximum(0, f6 - f7 * row)
         else:
@@ -336,8 +344,7 @@ def _trace_kernel(row0_ref, tab_ref, key_ref, ent_ref, sdep_ref, pz_ref,
                 inseg = (fsid == s) & (row >= r0) & (row < r1)
                 sdep = jnp.where(inseg, d0k - slopek * (row - r0), sdep)
         depth = f4 + jnp.minimum(0, f5 - row) - sdep
-        key = jnp.where(hit, depth * nc2 + (nc2 - 1 - cand_i),
-                        jnp.int32(KEY_MIN))
+        key = jnp.where(hit, depth * nc2 + tie, jnp.int32(KEY_MIN))
         return key, sdep
 
     # Phase 1: per-row candidate keys -> per-(bin, jr) maxima.  Keys (and
@@ -587,8 +594,8 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                                 atlas_normal, palette, bins_ent, counts,
                                 dyn_pos, config: RenderConfig, depth_params,
                                 bands=None, rects=None, segments=None,
-                                n_compact: int | None = None
-                                ) -> GBufferArrays:
+                                n_compact: int | None = None,
+                                rows_per_block: int = 8) -> GBufferArrays:
     """Primary visibility for a whole animation batch in ONE kernel launch.
 
     ``bins_ent`` (F, V, cap) / ``counts`` (F, V): per-frame bin tables (from
@@ -613,7 +620,8 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                     pos, ext, sprite_id, d0, slope, be, cnt, cfg, w_pad,
                     dyn_pos=dp, n_compact=ncc)
             )(bins_ent, counts, dyn_pos)
-            return trace_keys_pallas(tables, cfg, segments=segments)
+            return trace_keys_pallas(tables, cfg, segments=segments,
+                                     rows_per_block=rows_per_block)
         return fn
 
     if n_compact is None:

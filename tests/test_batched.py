@@ -76,6 +76,20 @@ class TestBatchedParity:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
 
+    def test_lane_groups_match_whole_width(self):
+        # Per-lane-tile candidate pruning (shadow_lane_groups > 1) is an
+        # exact optimization: a candidate dropped for a tile has a zero
+        # membership bit for every start bin its pixels occupy.
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        a1 = make_anim(scene, batched=True)
+        a4 = make_anim(scene, batched=True)
+        a4.shadow_lane_groups = 4
+        players, lights = sweep(a1, scene, 2)
+        f1 = np.asarray(a1.render_states(ds, players, lights))
+        f4 = np.asarray(a4.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f4, f1)
+
     def test_dithered_style(self):
         scene = demo_world(6)
         ds = DeviceScene.from_scene(scene)

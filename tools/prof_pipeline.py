@@ -1,0 +1,113 @@
+"""Per-stage TPU profiling of the whole-batch pipeline (models/batched.py).
+
+Times the cumulative stage decomposition of render_states_batched via its
+``upto`` parameter (bins -> trace -> prep -> shadow -> full), and/or the
+full program for a sweep of (shadow_rows, lane_groups) kernel configs.
+
+All timings materialise tiny checksums to host (block_until_ready returns
+early through the axon tunnel); the full program is the frames-delivered
+form (the frame batch is a program output).
+"""
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def time_host(fn, *args, iters=3):
+    out = fn(*args)
+    _ = jax.tree.map(np.asarray, out)
+    best = float("inf")
+    import time
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = jax.tree.map(np.asarray, out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--stages", action="store_true",
+                    help="time the upto-stage decomposition")
+    ap.add_argument("--rows", type=int, nargs="*", default=[40])
+    ap.add_argument("--groups", type=int, nargs="*", default=[1])
+    ap.add_argument("--trace-rows", type=int, nargs="*", default=[8])
+    ap.add_argument("--light", type=str, default="center",
+                    choices=["center", "edge_x", "edge_z"])
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+    F = args.frames
+
+    from pixel_art_raytracer_tpu.config import DEFAULT_CONFIG as cfg
+    from pixel_art_raytracer_tpu.scene import graybox_world, default_light
+    from pixel_art_raytracer_tpu.models.deferred import (DeferredRenderer,
+                                                         DeviceScene)
+    from pixel_art_raytracer_tpu.models.animation import AnimationRenderer
+    from pixel_art_raytracer_tpu.models.batched import render_states_batched
+    from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
+    from pixel_art_raytracer_tpu.ops import shadow_fast
+
+    scene = graybox_world()
+    light = default_light()
+    centers = {"center": (light.x, light.y, light.z),
+               "edge_x": (20, light.y, light.z),
+               "edge_z": (light.x, light.y, 280)}
+    tables = shadow_fast.default_tables(cfg, max_candidates=1024)
+    r = DeferredRenderer(cfg, shadow_impl="pallas", trace_impl="auto",
+                         shadow_tables=tables)
+    r.configure_for(scene)
+    cache = StaticBins(scene.pos, scene.ext, 1, cfg, r.spans)
+    anim = AnimationRenderer(r, cfg, static_bins=cache)
+    ds = DeviceScene.from_scene(scene, cfg)
+    players, lights = anim.light_sweep_states(
+        F, scene.pos[0], center=centers[args.light], radius=40)
+
+    def runner(rows, groups, trows, upto):
+        @jax.jit
+        def run(players, lights):
+            out = render_states_batched(r, cache, ds, players, lights,
+                                        shadow_rows=rows,
+                                        lane_groups=groups,
+                                        trace_rows=trows, upto=upto)
+            if upto is None:
+                return out, out.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+            return out
+
+        if upto is None:
+            return lambda p, l: run(p, l)[1]
+        return run
+
+    print(f"frames={F} light={args.light}")
+    if args.stages:
+        rows, groups, trows = (args.rows[0], args.groups[0],
+                               args.trace_rows[0])
+        for upto in ["bins", "trace", "geom", "cands", "rel", "prep",
+                     "shadow", None]:
+            t = time_host(runner(rows, groups, trows, upto), players,
+                          lights, iters=args.iters)
+            label = upto or "FULL (frames delivered)"
+            print(f"R={rows} G={groups} TR={trows} upto={label:24s} "
+                  f"{t*1e3:9.2f} ms ({t*1e3/F:7.3f} ms/frame)")
+    else:
+        for rows in args.rows:
+            for groups in args.groups:
+                for trows in args.trace_rows:
+                    t = time_host(runner(rows, groups, trows, None),
+                                  players, lights, iters=args.iters)
+                    rays = 2 * cfg.view_width * cfg.view_height * F
+                    print(f"R={rows} G={groups} TR={trows} FULL "
+                          f"{t*1e3:9.2f} ms ({t*1e3/F:7.3f} ms/frame, "
+                          f"{rays/t/1e6:7.1f} Mrays/s)")
+
+
+if __name__ == "__main__":
+    main()
