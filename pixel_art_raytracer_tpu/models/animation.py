@@ -100,10 +100,11 @@ class AnimationRenderer:
         # per-candidate scalar loads (190 vs 182 Mrays/s on v5e graybox).
         self.shadow_rows = 40
         # Lane tiles per shadow row block, each with its own exact pruned
-        # candidate list (per-corridor pruning, vectorized): 128-lane tiles
-        # see only ~3 of the 12 start columns, roughly halving candidate
-        # work.  1 = whole-width blocks.
-        self.shadow_lane_groups = 1
+        # candidate list (per-corridor pruning, vectorized).  G=2 measured
+        # best on v5e graybox (311 vs 297 Mrays/s at G=1): halved candidate
+        # vector work beats the extra per-tile fixed cost, while G=4's
+        # doubled scalar-load count gives the gains back.
+        self.shadow_lane_groups = 2
         # Trace-kernel screen rows per block (must divide bin_size and the
         # view height).  Bigger blocks cut grid steps but grow the VMEM
         # keys stash and the unrolled phase code.

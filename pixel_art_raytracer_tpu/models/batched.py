@@ -95,11 +95,28 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     # Column-compaction needs the runtime overflow reroute (a lax.cond),
     # which vmapped contexts can't afford — require the guard.
     ncc = trace_compact if r.shadow_guard == "fallback" else None
+    if upto in ("texp", "tkeys"):
+        d0, slope, segs = trace_pallas._resolve_depth_params(
+            dscene.atlas_color, params, r.depth_segments)
+        tab = jax.vmap(
+            lambda be, cnt, dp: trace_pallas._expand_tables(
+                dscene.pos, dscene.ext, dscene.sprite_id, d0, slope,
+                be, cnt, cfg, w_pad, dyn_pos=dp)
+        )(bins_ent, counts, dyn_pos)
+        if upto == "texp":
+            return tab[:, 9].reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+        winners = trace_pallas.trace_keys_pallas(
+            tab, cfg, segments=segs, rows_per_block=trace_rows,
+            packed_picks=r.trace_packed)
+        return sum(wi.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+                   for wi in winners)
+
     gbuf = trace_pallas.trace_pixels_pallas_batched(
         dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
         dscene.atlas_normal, dscene.palette, bins_ent, counts, dyn_pos,
         cfg, params, r.normal_bands, r.color_rects, r.depth_segments,
-        n_compact=ncc, rows_per_block=trace_rows)
+        n_compact=ncc, rows_per_block=trace_rows,
+        packed_picks=r.trace_packed)
 
     if upto == "trace":
         mix = (gbuf.entity_index + gbuf.y + gbuf.z
@@ -144,19 +161,16 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                 + szidx.reshape(F, -1).sum(axis=1)
                 + bg.reshape(F, -1).sum(axis=1))
 
-    member = jax.vmap(
-        lambda w: shadow_fast.unpack_member_words(w, cfg))(words)
     G = lane_groups if w_pad % (lane_groups * 128) == 0 else 1
-    rel = jax.vmap(
-        lambda m, s, b: shadow_pallas.used_block_relevance(
-            m, s, b, cfg, tables, R,
-            lane_groups=None if G == 1 else G))(member, szidx, bg)
+    relc = jax.vmap(
+        lambda w, s, b, c: shadow_pallas.tile_candidate_relevance(
+            w, s, b, c, cfg, tables, R, lane_groups=G)
+    )(words, szidx, bg, cands)
     if upto == "rel":
-        return (rel.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
-                + member.reshape(F, -1).sum(axis=1, dtype=jnp.int32))
+        return relc.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
 
     lists, blk_counts = jax.vmap(
-        shadow_pallas.candidate_lists_from_relevance)(cands, rel)
+        shadow_pallas.candidate_lists_from_relc)(relc)
     t_row, t_bg = jax.vmap(
         lambda w: shadow_pallas.lane_member_tables(w, cfg, tables, R, w_pad)
     )(words)

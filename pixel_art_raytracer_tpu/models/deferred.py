@@ -100,6 +100,11 @@ class DeferredRenderer:
         # Piecewise-ramp depth segments (configure_for): lets the Pallas
         # tracer handle any column-constant depth atlas, not just ramps.
         self.depth_segments = None
+        # Packed winner resolve (configure_for): the trace kernel emits 3
+        # bit-packed attribute maxima instead of 6 when the scene's value
+        # ranges fit (ent < 2^18, sid < 8, sdep < 32, |pz|/|rowbase|
+        # < 2^14); False uses the unpacked kernel (any scene).
+        self.trace_packed = False
         # Set once the jitted pipeline has traced with this renderer as a
         # static argument; configure_for() refuses to mutate after that
         # (the compile cache would silently keep the stale parameters).
@@ -143,7 +148,23 @@ class DeferredRenderer:
         self.normal_bands = bands
         self.color_rects = rects
         self.depth_segments = segs
+        self.trace_packed = self._packed_bounds_ok(scene)
         return self
+
+    @staticmethod
+    def _packed_bounds_ok(scene: Scene) -> bool:
+        """Host-side value-range proof for the packed winner resolve
+        (``trace_pallas._trace_kernel`` packed_picks bounds)."""
+        pos = np.asarray(scene.pos).astype(np.int64)
+        ext = np.asarray(scene.ext).astype(np.int64)
+        pz = pos[:, 2]
+        rowbase = pos[:, 1] + ext[:, 1] + pos[:, 2] + ext[:, 2]
+        return bool(
+            scene.n_entities < (1 << 18)
+            and scene.atlas.color.shape[0] <= 8
+            and int(np.asarray(scene.atlas.depth).max()) < 32
+            and np.abs(pz).max() < 16384
+            and np.abs(rowbase).max() < 16384)
 
     def spans_for(self, scene: Scene) -> tuple[int, int, int]:
         return binning.entity_span_bound(scene.ext.max(axis=0), self.config)
@@ -182,7 +203,8 @@ class DeferredRenderer:
                 dscene.atlas_depth, dscene.atlas_normal, dscene.palette,
                 bins_ent, counts, self.config,
                 params, self.normal_bands,
-                self.color_rects, self.depth_segments, row0, n_rows)
+                self.color_rects, self.depth_segments, row0, n_rows,
+                packed_picks=self.trace_packed)
         assert row0 is None and n_rows is None, \
             "row windows are a Pallas-path feature (jnp shards via GSPMD)"
         return trace.trace_pixels(dscene.pos, dscene.ext, dscene.sprite_id,

@@ -275,18 +275,30 @@ def lane_select_matrix(config: RenderConfig, w_pad: int) -> jax.Array:
                                        config.view_width, w_pad))
 
 
-def _trace_kernel(row0_ref, tab_ref, key_ref, ent_ref, sdep_ref, pz_ref,
-                  rb_ref, px_ref, sid_ref, mkey_scr, empty_scr, keys_scr,
-                  sdeps_scr, *, config,
+def _trace_kernel(row0_ref, tab_ref, *refs, config,
                   rows_per_block: int, n_cands: int, nc2: int, w_pad: int,
-                  segments=None, compact: bool = False):
+                  segments=None, compact: bool = False,
+                  packed_picks: bool = False):
     """Row-block body.  Blocks carry a leading frame dim of 1: the grid is
     (frames, row_blocks) so one launch traces a whole animation batch
     (frames=1 for single-frame callers).
 
     ``compact``: the candidate rows are column-compacted live entries (an
     extra bin-z field rides the table); per-bin maxima and empty flags use
-    bin-z masks instead of structured (bin, slot) slices."""
+    bin-z masks instead of structured (bin, slot) slices.
+
+    ``packed_picks``: winner attributes resolve as THREE masked maxima of
+    bit-packed fields instead of six — A = (ent*8 + sid)*32 + sdep,
+    B = (pz + 2^14)*2^15 + (rowbase + 2^14), C = posx — the epilogue
+    unpacks.  Callers must prove the bounds host-side (ent < 2^18,
+    sid < 8, sdep < 32, |pz| and |rowbase| < 2^14); scenes outside them
+    use the unpacked kernel."""
+    if packed_picks:
+        (key_ref, a_ref, b_ref, c_ref,
+         mkey_scr, empty_scr, keys_scr, sdeps_scr) = refs
+    else:
+        (key_ref, ent_ref, sdep_ref, pz_ref, rb_ref, px_ref, sid_ref,
+         mkey_scr, empty_scr, keys_scr, sdeps_scr) = refs
     cfg = config
     cap = cfg.bin_capacity
     HL = cfg.hash_length
@@ -385,6 +397,9 @@ def _trace_kernel(row0_ref, tab_ref, key_ref, ent_ref, sdep_ref, pz_ref,
     # Phase 3: winner-field resolve (keys are unique, so a masked max over
     # candidates recovers each winner attribute) — saves the epilogue a
     # per-pixel gather per attribute.
+    if packed_picks:
+        base_a = (fent * 8 + fsid) * 32                  # + sdep per row
+        base_b = (fpz + 16384) * 32768 + (f3 + 16384)    # row-independent
     for jr in range(R):
         key = keys_scr[jr * n_cands:(jr + 1) * n_cands]
         sdep = sdeps_scr[jr * n_cands:(jr + 1) * n_cands]
@@ -394,17 +409,23 @@ def _trace_kernel(row0_ref, tab_ref, key_ref, ent_ref, sdep_ref, pz_ref,
             return jnp.max(jnp.where(match, field, jnp.int32(KEY_MIN)),
                            axis=0, keepdims=True)
 
-        ent_ref[0, jr:jr + 1, :] = pick(fent)
-        sdep_ref[0, jr:jr + 1, :] = pick(sdep)
-        pz_ref[0, jr:jr + 1, :] = pick(fpz)
-        rb_ref[0, jr:jr + 1, :] = pick(f3)
-        px_ref[0, jr:jr + 1, :] = pick(f0)
-        sid_ref[0, jr:jr + 1, :] = pick(fsid)
+        if packed_picks:
+            a_ref[0, jr:jr + 1, :] = pick(base_a + sdep)
+            b_ref[0, jr:jr + 1, :] = pick(base_b)
+            c_ref[0, jr:jr + 1, :] = pick(f0)
+        else:
+            ent_ref[0, jr:jr + 1, :] = pick(fent)
+            sdep_ref[0, jr:jr + 1, :] = pick(sdep)
+            pz_ref[0, jr:jr + 1, :] = pick(fpz)
+            rb_ref[0, jr:jr + 1, :] = pick(f3)
+            px_ref[0, jr:jr + 1, :] = pick(f0)
+            sid_ref[0, jr:jr + 1, :] = pick(fsid)
 
 
 def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
                       rows_per_block: int = 8, w_pad: int | None = None,
-                      segments=None, row0=None, n_rows: int | None = None):
+                      segments=None, row0=None, n_rows: int | None = None,
+                      packed_picks: bool = False):
     """Run the kernel; returns per-pixel winning keys (n_rows, w_pad) int32.
 
     ``tables`` may carry a leading frame axis (F, n_fields, HH, NC, w_pad):
@@ -445,11 +466,12 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     kernel = functools.partial(_trace_kernel, config=cfg,
                                rows_per_block=R, n_cands=n_cands, nc2=nc2,
                                w_pad=w_pad, segments=segments,
-                               compact=compact)
+                               compact=compact, packed_picks=packed_picks)
     # Interpreter mode on non-TPU backends (CPU tests validate the kernel
     # logic; compiled Mosaic runs on real TPUs).
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     out = jax.ShapeDtypeStruct((F, n_rows, w_pad), jnp.int32)
+    n_out = 4 if packed_picks else 7
     spec = pl.BlockSpec((1, R, w_pad), lambda f, i, *_: (f, i, 0),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -459,7 +481,7 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
             (1, tables.shape[1], 1, n_cands, w_pad),
             lambda f, i, row0_ref: (f, 0, (row0_ref[0] + i * R) // bs, 0, 0),
             memory_space=pltpu.VMEM)],
-        out_specs=(spec,) * 7,
+        out_specs=(spec,) * n_out,
         scratch_shapes=[
             pltpu.VMEM((cfg.hash_length * R, w_pad), jnp.int32),
             pltpu.VMEM((cfg.hash_length, w_pad), jnp.int32),
@@ -471,7 +493,7 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
-        out_shape=(out,) * 7,
+        out_shape=(out,) * n_out,
     )(row0, tables)
     if not batched:
         outs = tuple(o[0] for o in outs)
@@ -497,7 +519,8 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
                         config: RenderConfig,
                         depth_params, bands=None,
                         rects=None, segments=None, row0=None,
-                        n_rows: int | None = None) -> GBufferArrays:
+                        n_rows: int | None = None,
+                        packed_picks: bool = False) -> GBufferArrays:
     """Drop-in replacement for ops.trace.trace_pixels on atlases whose depth
     maps are ramps or piecewise ramps (any column-constant map).
 
@@ -518,7 +541,8 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
     tables = _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent,
                             counts, cfg, w_pad)
     winners = trace_keys_pallas(tables, cfg, segments=segments,
-                                row0=row0, n_rows=n_rows)
+                                row0=row0, n_rows=n_rows,
+                                packed_picks=packed_picks)
     return gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
                                 cfg, bands, rects, row0, n_rows)
 
@@ -536,7 +560,17 @@ def gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
     H, W = cfg.view_height, cfg.view_width
     if n_rows is None:
         n_rows = H
-    keys, ent, sdep, pz, rowbase, posx, sid = (a[:, :W] for a in winners)
+    if len(winners) == 4:
+        # Packed-picks kernel output: unpack A/B/C (see _trace_kernel).
+        keys, a, b, posx = (x[:, :W] for x in winners)
+        ent = a >> 8
+        sid = (a >> 5) & 7
+        sdep = a & 31
+        pz = (b >> 15) - 16384
+        rowbase = (b & 32767) - 16384
+    else:
+        keys, ent, sdep, pz, rowbase, posx, sid = (
+            x[:, :W] for x in winners)
 
     # Winner attributes come straight from the kernel; only the per-texel
     # color/normal maps still need gathers.
@@ -595,7 +629,8 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                                 dyn_pos, config: RenderConfig, depth_params,
                                 bands=None, rects=None, segments=None,
                                 n_compact: int | None = None,
-                                rows_per_block: int = 8) -> GBufferArrays:
+                                rows_per_block: int = 8,
+                                packed_picks: bool = False) -> GBufferArrays:
     """Primary visibility for a whole animation batch in ONE kernel launch.
 
     ``bins_ent`` (F, V, cap) / ``counts`` (F, V): per-frame bin tables (from
@@ -621,7 +656,8 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                     dyn_pos=dp, n_compact=ncc)
             )(bins_ent, counts, dyn_pos)
             return trace_keys_pallas(tables, cfg, segments=segments,
-                                     rows_per_block=rows_per_block)
+                                     rows_per_block=rows_per_block,
+                                     packed_picks=packed_picks)
         return fn
 
     if n_compact is None:

@@ -126,6 +126,47 @@ class TestMembershipWords:
             np.asarray(pack_member_words(dense)))
 
 
+class TestTileRelevance:
+    def test_packed_matches_dense(self):
+        # tile_candidate_relevance (packed-word OR-fold + one-hot matmul)
+        # must equal the dense-bitmap relevance indexed per candidate.
+        from pixel_art_raytracer_tpu.ops import shadow_pallas as sp
+        from pixel_art_raytracer_tpu.ops import shade as shade_ops
+
+        cfg = DEFAULT_CONFIG
+        scene = demo_world(8)
+        tables = shadow_fast.default_tables(cfg, max_candidates=1024)
+        r = make_anim(scene, batched=False).renderer
+        ds = DeviceScene.from_scene(scene)
+        be, cnt = jax.jit(r.build_bins)(ds)
+        gbuf = r.trace(ds, be, cnt)
+        la = jnp.asarray(default_light().as_array())
+        tl, inv, origin, rb, lb = shade_ops.light_geometry(gbuf, la, cfg)
+        words = shadow_fast.dda_membership_words(lb, cfg, tables)
+        member = shadow_fast.unpack_member_words(words, cfg)
+        cands = shadow_fast.build_candidates(
+            ds.pos, ds.ext, be, cnt, None, cfg, tables,
+            tested_any=member.any(axis=0))
+
+        SZ = tables.sz_hi - tables.sz_lo
+        W = cfg.view_width
+        w_pad = -(-W // 128) * 128
+
+        def padw(a):
+            return jnp.pad(a, ((0, 0), (0, w_pad - a.shape[-1])))
+
+        szidx = padw(jnp.clip(rb[2] - tables.sz_lo, 0, SZ - 1))
+        bg = padw(((gbuf.y + gbuf.z) == 0).astype(jnp.int32))
+        R = 40
+        for G in (1, 2, 4):
+            rel = sp.used_block_relevance(member, szidx, bg, cfg, tables,
+                                          R, lane_groups=G)
+            dense = np.asarray(cands.valid & rel[..., cands.bin])
+            packed = np.asarray(sp.tile_candidate_relevance(
+                words, szidx, bg, cands, cfg, tables, R, lane_groups=G))
+            np.testing.assert_array_equal(packed, dense, err_msg=f"G={G}")
+
+
 class TestTraceCompaction:
     def test_compact_bound_derived_and_parity(self):
         scene = demo_world(10)

@@ -44,6 +44,10 @@ def main() -> None:
     ap.add_argument("--light", type=str, default="center",
                     choices=["center", "edge_x", "edge_z"])
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="also time N back-to-back dispatches materialised "
+                         "together (does the dispatch floor overlap "
+                         "device work?)")
     args = ap.parse_args()
     F = args.frames
 
@@ -90,8 +94,8 @@ def main() -> None:
     if args.stages:
         rows, groups, trows = (args.rows[0], args.groups[0],
                                args.trace_rows[0])
-        for upto in ["bins", "trace", "geom", "cands", "rel", "prep",
-                     "shadow", None]:
+        for upto in ["bins", "texp", "tkeys", "trace", "geom", "cands",
+                     "rel", "prep", "shadow", None]:
             t = time_host(runner(rows, groups, trows, upto), players,
                           lights, iters=args.iters)
             label = upto or "FULL (frames delivered)"
@@ -107,6 +111,22 @@ def main() -> None:
                     print(f"R={rows} G={groups} TR={trows} FULL "
                           f"{t*1e3:9.2f} ms ({t*1e3/F:7.3f} ms/frame, "
                           f"{rays/t/1e6:7.1f} Mrays/s)")
+                    if args.pipeline:
+                        fn = runner(rows, groups, trows, None)
+                        import time as _t
+
+                        def burst(p, l, n=args.pipeline):
+                            outs = [fn(p, l) for _ in range(n)]
+                            return [np.asarray(o) for o in outs]
+
+                        burst(players, lights)
+                        t0 = _t.perf_counter()
+                        burst(players, lights)
+                        tb = (_t.perf_counter() - t0) / args.pipeline
+                        print(f"  pipelined x{args.pipeline}: "
+                              f"{tb*1e3:9.2f} ms/batch "
+                              f"({tb*1e3/F:7.3f} ms/frame, "
+                              f"{rays/tb/1e6:7.1f} Mrays/s)")
 
 
 if __name__ == "__main__":
