@@ -19,6 +19,11 @@ grid-edge positions (DDA corridors lengthen near the edge, making shadow
 cost light-position dependent).  The headline is the median orbit; the
 worst is reported alongside.
 
+The headline is SUSTAINED throughput: 4 back-to-back batch dispatches
+timed together (the continuous stream the reference's interactive loop
+renders), which overlaps the fixed per-dispatch tunnel cost with device
+compute.  Single-batch numbers are reported alongside.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` compares against the single-threaded C++ oracle renderer
 measured on this host — the reference implementation publishes no numbers
@@ -133,28 +138,54 @@ def main() -> None:
     def run_delivered_cs(dscene, players, lights):
         return run_delivered(dscene, players, lights)[1]
 
+    def time_sustained(players, lights, bursts: int = 4) -> float:
+        """Per-batch wall time of ``bursts`` back-to-back dispatches
+        materialised together — sustained rendering (the continuous
+        stream the reference's interactive loop is): queued programs
+        overlap the fixed per-dispatch cost with device compute.  Every
+        frame of every batch is still written to HBM."""
+        def burst():
+            outs = [run_delivered_cs(dscene, players, lights)
+                    for _ in range(bursts)]
+            for o in outs:
+                _ = np.asarray(o)
+
+        burst()                                 # warm + compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            burst()
+            best = min(best, (time.perf_counter() - t0) / bursts)
+        return best
+
     rays = 2 * W * H * n_frames
-    delivered = {}
+    delivered, sustained = {}, {}
     for name, (players, lights) in sweeps.items():
         best = time_runs(run_delivered_cs, dscene, players, lights)
         delivered[name] = rays / best / 1e6
+        sustained[name] = rays / time_sustained(players, lights) / 1e6
     fused_center = rays / time_runs(run_fused, dscene,
                                     *sweeps["center"]) / 1e6
 
-    vals = sorted(delivered.values())
-    median = vals[len(vals) // 2]
-    worst = vals[0]
+    def median_of(d):
+        vals = sorted(d.values())
+        return vals[len(vals) // 2]
+
+    median = median_of(sustained)
     baseline = measure_cpp_baseline(scene, light, config)
 
     print(json.dumps({
-        "metric": "full-pipeline throughput, frames delivered "
+        "metric": "full-pipeline sustained throughput, frames delivered "
                   "(graybox 480x320, primary+shadow, median of 3 light"
-                  " orbits)",
+                  " orbits, 4 back-to-back batches)",
         "value": round(median, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(median / baseline, 2),
-        "worst_orbit": round(worst, 2),
-        "per_orbit": {k: round(v, 2) for k, v in delivered.items()},
+        "worst_orbit": round(min(sustained.values()), 2),
+        "per_orbit": {k: round(v, 2) for k, v in sustained.items()},
+        "single_batch_median": round(median_of(delivered), 2),
+        "single_batch_per_orbit": {k: round(v, 2)
+                                   for k, v in delivered.items()},
         "checksum_fused_center": round(fused_center, 2),
         "frames": n_frames,
         "baseline_cpp_mrays": round(baseline, 2),

@@ -190,9 +190,13 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                 + box.reshape(F, -1).sum(axis=1).astype(jnp.int32)
                 + iv_p[0].reshape(F, -1).sum(axis=1).astype(jnp.int32))
 
+    szr = jax.vmap(
+        lambda s, b: shadow_pallas.block_sz_ranges(s, b, W, R, SZ)
+    )(szidx, bg)
+
     def fast_lit():
         lit_pad = shadow_pallas.shadow_call_batched(
-            blk_counts.reshape(F, -1), cbin,
+            blk_counts.reshape(F, -1), szr, cbin,
             lists.reshape(F, H // R, -1, 128),
             box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
             iv_p[0], iv_p[1], iv_p[2], cfg, tables, rows_per_block=R,

@@ -311,11 +311,12 @@ def lane_member_tables(member_words, config: RenderConfig,
     return t_row, t_bg
 
 
-def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
-                   trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref, oz_ref,
-                   ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref, bitmap_scr,
+def _shadow_kernel(counts_ref, szrange_ref, cbin_ref, lists_ref, box_ref,
+                   centi_ref, trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref,
+                   oz_ref, ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref,
+                   bitmap_scr,
                    *, w_pad: int, rows: int, n_words: int, n_sz: int,
-                   lane_groups: int = 1, mq: int = 0):
+                   lane_groups: int = 1):
     """Row-block body on a (frames, row_blocks) grid — every block carries a
     leading frame dim of 1, so one launch shades a whole animation batch.
     Per-block pruned candidate counts, flat-bin ids, and the pruned index
@@ -346,14 +347,27 @@ def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
 
     # Build this tile's per-pixel membership bitmap in VMEM: select the
     # lane-vector of words by each pixel's sz (or the background row).
+    # A block's pixels span only a few of the n_sz table rows (wy+wz is
+    # near-constant within a bin row), so the select chain runs a dynamic
+    # fori_loop over the block's actual [sz_lo, sz_hi) range (from SMEM)
+    # instead of all n_sz cases statically.
     for w in range(n_words):
-        acc = jnp.where(bg, tbg_ref[0, w:w + 1, :], jnp.uint32(0))
-        for s in range(n_sz):
-            rowvec = trow_ref[0, 0, s * n_words + w:s * n_words + w + 1, :]
-            acc = jnp.where(~bg & (szidx == s), rowvec, acc)
-        bitmap_scr[w] = acc
+        bitmap_scr[w] = jnp.where(bg, tbg_ref[0, w:w + 1, :], jnp.uint32(0))
     # Dedicated always-zero word: padded/invalid candidates index it.
     bitmap_scr[n_words] = jnp.zeros((R, gw), jnp.uint32)
+
+    sz_lo = szrange_ref[0, 0, 2 * block]
+    sz_hi = szrange_ref[0, 0, 2 * block + 1]
+    notbg = ~bg
+
+    def sz_body(s, _):
+        mask = notbg & (szidx == s)
+        for w in range(n_words):
+            rowvec = trow_ref[0, 0, pl.ds(s * n_words + w, 1), :]
+            bitmap_scr[w] = jnp.where(mask, rowvec, bitmap_scr[w])
+        return _
+
+    jax.lax.fori_loop(sz_lo, sz_hi, sz_body, 0)
 
     def chunk_body(i, occ):
         # Candidates stream in chunks of 8 through this tile's *pruned*
@@ -417,8 +431,9 @@ def _shadow_kernel(counts_ref, cbin_ref, lists_ref, box_ref, centi_ref,
     out_ref[0] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
 
 
-def shadow_call_batched(blk_counts, cbin, lists, box, centi, t_row, t_bg,
-                        szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
+def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
+                        t_row, t_bg, szidx, bg, start_ent, oy, oz,
+                        ivx, ivy, ivz,
                         config: RenderConfig, tables: ShadowTables,
                         rows_per_block: int = 8,
                         lane_groups: int = 1) -> jax.Array:
@@ -427,7 +442,9 @@ def shadow_call_batched(blk_counts, cbin, lists, box, centi, t_row, t_bg,
     Every argument leads with the frame axis F (single-frame callers pass
     F=1); with ``lane_groups`` G > 1 each row block carries G per-lane-tile
     candidate lists:
-      blk_counts (F, NB*G) i32, cbin (F, Mq, 128) i32,
+      blk_counts (F, NB*G) i32, blk_szrange (F, NB*2) i32 (per-block
+      [sz_lo, sz_hi) bounds of the non-background pixels' table rows),
+      cbin (F, Mq, 128) i32,
       lists (F, NB, G*Mq, 128) i32, box (F, M//16, 128) f32 (packed
       corners), centi (F, Mq, 128) i32,
       t_row (F, n_sy, SZ*nw, w_pad) u32, t_bg (F, nw, w_pad) u32,
@@ -468,6 +485,8 @@ def shadow_call_batched(blk_counts, cbin, lists, box, centi, t_row, t_bg,
             # equal to the array's (the TPU lowering requires it).
             pl.BlockSpec((1, 1, NB * G), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # per-(block,g) counts
+            pl.BlockSpec((1, 1, NB * 2), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # per-block sz range
             pl.BlockSpec((1, Mq, 128), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # candidate bin ids
             pl.BlockSpec((1, 1, 1, Mq, 128),
@@ -493,9 +512,25 @@ def shadow_call_batched(blk_counts, cbin, lists, box, centi, t_row, t_bg,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, H, w_pad), jnp.int32),
         interpret=interpret,
-    )(blk_counts[:, None, :], cbin,
+    )(blk_counts[:, None, :], blk_szrange[:, None, :], cbin,
       lists.reshape(F, NB, G, Mq, 128), box, centi, t_row, t_bg,
       szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)
+
+
+def block_sz_ranges(szidx, bg, view_width: int, rows_per_block: int,
+                    n_sz: int) -> jax.Array:
+    """Per-row-block [lo, hi) bounds of the non-background pixels' sz
+    table rows — the kernel's bitmap build loops only this range (a block
+    spans ~3-4 of the ~18 rows).  Returns (NB*2,) i32 interleaved
+    [lo0, hi0, lo1, hi1, ...]; all-background blocks get an empty range.
+    """
+    H = szidx.shape[0]
+    NB = H // rows_per_block
+    s = szidx[:, :view_width].reshape(NB, -1)
+    m = bg[:, :view_width].reshape(NB, -1) == 0
+    lo = jnp.min(jnp.where(m, s, n_sz), axis=1)
+    hi = jnp.max(jnp.where(m, s + 1, 0), axis=1)
+    return jnp.stack([lo, hi], axis=1).reshape(-1).astype(jnp.int32)
 
 
 def candidate_param_tables(cands: Candidates, n_words: int):
@@ -546,9 +581,11 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     M = cands.bin.shape[0]
     assert M % 8 == 0
     cbin, box, centi = candidate_param_tables(cands, n_words)
+    SZ = tables.sz_hi - tables.sz_lo
+    szr = block_sz_ranges(szidx, bg, cfg.view_width, R, SZ)
 
     lit = shadow_call_batched(
-        blk_counts.reshape(-1)[None], cbin[None],
+        blk_counts.reshape(-1)[None], szr[None], cbin[None],
         lists.reshape(H // R, -1, 128)[None], box[None], centi[None],
         t_row[None], t_bg[None],
         szidx[None], bg[None], start_ent[None],

@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--stages", action="store_true",
                     help="time the upto-stage decomposition")
+    ap.add_argument("--upto", type=str, default=None,
+                    help="time a single stage cut (e.g. texp)")
     ap.add_argument("--rows", type=int, nargs="*", default=[40])
     ap.add_argument("--groups", type=int, nargs="*", default=[1])
     ap.add_argument("--trace-rows", type=int, nargs="*", default=[8])
@@ -91,11 +93,13 @@ def main() -> None:
         return run
 
     print(f"frames={F} light={args.light}")
-    if args.stages:
+    if args.stages or args.upto:
         rows, groups, trows = (args.rows[0], args.groups[0],
                                args.trace_rows[0])
-        for upto in ["bins", "texp", "tkeys", "trace", "geom", "cands",
-                     "rel", "prep", "shadow", None]:
+        cuts = ([args.upto] if args.upto
+                else ["bins", "texp", "tkeys", "trace", "geom", "cands",
+                      "rel", "prep", "shadow", None])
+        for upto in cuts:
             t = time_host(runner(rows, groups, trows, upto), players,
                           lights, iters=args.iters)
             label = upto or "FULL (frames delivered)"
