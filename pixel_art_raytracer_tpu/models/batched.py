@@ -41,6 +41,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                           trace_compact: int | None = None,
                           lane_groups: int = 1,
                           trace_rows: int = 8,
+                          shadow_chunk: int = 8,
                           upto: str | None = None) -> jax.Array:
     """Render F frames as one batched device program.
 
@@ -200,7 +201,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             lists.reshape(F, H // R, -1, 128),
             box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
             iv_p[0], iv_p[1], iv_p[2], cfg, tables, rows_per_block=R,
-            lane_groups=G)
+            lane_groups=G, chunk=shadow_chunk)
         return lit_pad[:, :, :W] > 0
 
     if r.shadow_guard == "fallback":

@@ -316,7 +316,7 @@ def _shadow_kernel(counts_ref, szrange_ref, cbin_ref, lists_ref, box_ref,
                    oz_ref, ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref,
                    bitmap_scr,
                    *, w_pad: int, rows: int, n_words: int, n_sz: int,
-                   lane_groups: int = 1):
+                   lane_groups: int = 1, chunk: int = 8):
     """Row-block body on a (frames, row_blocks) grid — every block carries a
     leading frame dim of 1, so one launch shades a whole animation batch.
     Per-block pruned candidate counts, flat-bin ids, and the pruned index
@@ -370,13 +370,15 @@ def _shadow_kernel(counts_ref, szrange_ref, cbin_ref, lists_ref, box_ref,
     jax.lax.fori_loop(sz_lo, sz_hi, sz_body, 0)
 
     def chunk_body(i, occ):
-        # Candidates stream in chunks of 8 through this tile's *pruned*
+        # Candidates stream in unrolled chunks through this tile's *pruned*
         # index list (lists_ref, SMEM); all parameter reads are scalar
-        # loads.  Padded/invalid candidates point at the dedicated
-        # always-zero bitmap word.
-        c0 = i * 8
+        # loads.  Overshoot past the count is harmless: tail candidates are
+        # real but tile-irrelevant (their membership bits are zero for
+        # every pixel here), and padded/invalid candidates point at the
+        # dedicated always-zero bitmap word.
+        c0 = i * chunk
 
-        for cc in range(8):
+        for cc in range(chunk):
             m = c0 + cc
             c = lists_ref[0, 0, 0, m // 128, m % 128]
             b_c = cbin_ref[0, c // 128, c % 128]   # scalar flat-ish bin id
@@ -427,7 +429,8 @@ def _shadow_kernel(counts_ref, szrange_ref, cbin_ref, lists_ref, box_ref,
 
     n = counts_ref[0, 0, block * G + g]
     occ0 = jnp.zeros((R, gw), jnp.int32)
-    occluded = jax.lax.fori_loop(0, (n + 7) // 8, chunk_body, occ0)
+    occluded = jax.lax.fori_loop(0, (n + chunk - 1) // chunk, chunk_body,
+                                 occ0)
     out_ref[0] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
 
 
@@ -436,7 +439,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
                         ivx, ivy, ivz,
                         config: RenderConfig, tables: ShadowTables,
                         rows_per_block: int = 8,
-                        lane_groups: int = 1) -> jax.Array:
+                        lane_groups: int = 1,
+                        chunk: int = 8) -> jax.Array:
     """Launch the shadow kernel on a (frames, row_blocks) grid.
 
     Every argument leads with the frame axis F (single-frame callers pass
@@ -463,8 +467,10 @@ def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
     bpr = cfg.bin_size // R            # row blocks per bin row
     assert w_pad % (G * 128) == 0, "lane groups must be 128-lane multiples"
 
+    assert M % chunk == 0, "chunk must divide the candidate capacity"
     kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
-                               n_words=n_words, n_sz=SZ, lane_groups=G)
+                               n_words=n_words, n_sz=SZ, lane_groups=G,
+                               chunk=chunk)
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     gw = w_pad // G
 

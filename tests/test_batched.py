@@ -126,6 +126,35 @@ class TestMembershipWords:
             np.asarray(pack_member_words(dense)))
 
 
+class TestPackedPickBounds:
+    def test_out_of_bounds_scene_uses_unpacked_kernel(self):
+        # A scene whose coordinate sums exceed the packed-pick ranges must
+        # gate trace_packed off and still render exactly (unpacked kernel).
+        from pixel_art_raytracer_tpu.scene import SceneBuilder
+
+        cfg = DEFAULT_CONFIG
+        b = SceneBuilder(config=cfg)
+        b.insert((120, 36, 80), (20, 20, 20))
+        for i in range(6):
+            b.insert((i * 30, 0, 40), (20, 20, 20))
+        b.insert((40, 20, 20000), (20, 20, 20))    # pz beyond 2^14: culled
+        scene = b.build()
+        ds = DeviceScene.from_scene(scene)
+        a_scan = make_anim(scene, batched=False)
+        a_bat = make_anim(scene, batched=True)
+        assert a_bat.renderer.trace_packed is False
+        players, lights = sweep(a_scan, scene, 2)
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)
+
+    def test_graybox_bounds_fit(self):
+        from pixel_art_raytracer_tpu.scene import graybox_world
+        from pixel_art_raytracer_tpu.models.deferred import DeferredRenderer
+
+        assert DeferredRenderer._packed_bounds_ok(graybox_world()) is True
+
+
 class TestTileRelevance:
     def test_packed_matches_dense(self):
         # tile_candidate_relevance (packed-word OR-fold + one-hot matmul)

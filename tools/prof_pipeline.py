@@ -43,6 +43,7 @@ def main() -> None:
     ap.add_argument("--rows", type=int, nargs="*", default=[40])
     ap.add_argument("--groups", type=int, nargs="*", default=[1])
     ap.add_argument("--trace-rows", type=int, nargs="*", default=[8])
+    ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--light", type=str, default="center",
                     choices=["center", "edge_x", "edge_z"])
     ap.add_argument("--iters", type=int, default=3)
@@ -83,7 +84,8 @@ def main() -> None:
             out = render_states_batched(r, cache, ds, players, lights,
                                         shadow_rows=rows,
                                         lane_groups=groups,
-                                        trace_rows=trows, upto=upto)
+                                        trace_rows=trows,
+                                        shadow_chunk=args.chunk, upto=upto)
             if upto is None:
                 return out, out.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
             return out
