@@ -316,7 +316,8 @@ def _shadow_kernel(counts_ref, szrange_ref, cbin_ref, lists_ref, box_ref,
                    oz_ref, ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref,
                    bitmap_scr,
                    *, w_pad: int, rows: int, n_words: int, n_sz: int,
-                   lane_groups: int = 1, chunk: int = 8):
+                   lane_groups: int = 1, chunk: int = 8,
+                   saturate: bool = False):
     """Row-block body on a (frames, row_blocks) grid — every block carries a
     leading frame dim of 1, so one launch shades a whole animation batch.
     Per-block pruned candidate counts, flat-bin ids, and the pruned index
@@ -429,8 +430,27 @@ def _shadow_kernel(counts_ref, szrange_ref, cbin_ref, lists_ref, box_ref,
 
     n = counts_ref[0, 0, block * G + g]
     occ0 = jnp.zeros((R, gw), jnp.int32)
-    occluded = jax.lax.fori_loop(0, (n + chunk - 1) // chunk, chunk_body,
-                                 occ0)
+    n_chunks = (n + chunk - 1) // chunk
+    if saturate:
+        # Tile saturation early-out: once every pixel is occluded no
+        # further candidate can change the result (occlusion is an OR) —
+        # the tile-level form of the reference's first-hit short-circuit
+        # (alternative.cpp:490-493).  MEASURED 15x SLOWER on v5e (0.92 ->
+        # 13.98 ms/frame): the per-chunk vector->scalar reduce in the
+        # while_loop condition serializes the Mosaic pipeline.  Kept as an
+        # opt-in for future hardware; default off.
+        def cond_fn(st):
+            i, occ = st
+            return (i < n_chunks) & (jnp.min(occ) < 1)
+
+        def body_fn(st):
+            i, occ = st
+            return i + 1, chunk_body(i, occ)
+
+        _, occluded = jax.lax.while_loop(cond_fn, body_fn,
+                                         (jnp.int32(0), occ0))
+    else:
+        occluded = jax.lax.fori_loop(0, n_chunks, chunk_body, occ0)
     out_ref[0] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
 
 
@@ -440,7 +460,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
                         config: RenderConfig, tables: ShadowTables,
                         rows_per_block: int = 8,
                         lane_groups: int = 1,
-                        chunk: int = 8) -> jax.Array:
+                        chunk: int = 8,
+                        saturate: bool = False) -> jax.Array:
     """Launch the shadow kernel on a (frames, row_blocks) grid.
 
     Every argument leads with the frame axis F (single-frame callers pass
@@ -470,7 +491,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
     assert M % chunk == 0, "chunk must divide the candidate capacity"
     kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
                                n_words=n_words, n_sz=SZ, lane_groups=G,
-                               chunk=chunk)
+                               chunk=chunk, saturate=saturate)
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     gw = w_pad // G
 
