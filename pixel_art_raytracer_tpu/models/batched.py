@@ -162,7 +162,8 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                 + szidx.reshape(F, -1).sum(axis=1)
                 + bg.reshape(F, -1).sum(axis=1))
 
-    G = lane_groups if w_pad % (lane_groups * 128) == 0 else 1
+    G = shadow_pallas.effective_lane_groups(
+        w_pad, lane_groups if w_pad % (lane_groups * 128) == 0 else 1)
     relc = jax.vmap(
         lambda w, s, b, c: shadow_pallas.tile_candidate_relevance(
             w, s, b, c, cfg, tables, R, lane_groups=G)

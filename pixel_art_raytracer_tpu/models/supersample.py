@@ -88,7 +88,9 @@ class SupersampledRenderer:
 
     def prepare(self, scene: Scene):
         scaled = scale_scene(scene, self.factor)
-        self.renderer.spans = self.renderer.spans_for(scaled)
+        # Full static configuration (spans + gather-free epilogue
+        # decompositions + packed-pick bounds) on the scaled scene.
+        self.renderer.configure_for(scaled)
         return DeviceScene.from_scene(scaled, self.config)
 
     def render(self, dscene_scaled: DeviceScene, light) -> jax.Array:

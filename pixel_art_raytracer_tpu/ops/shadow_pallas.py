@@ -45,6 +45,21 @@ def pack_member_words(member) -> jax.Array:
     return (bits.astype(jnp.uint32) * weights).sum(axis=2, dtype=jnp.uint32)
 
 
+def effective_lane_groups(w_pad: int, requested: int = 1,
+                          max_tile: int = 512) -> int:
+    """Lane-group count actually used for a padded width: at least
+    ``requested``, and enough that each tile is <= ``max_tile`` lanes
+    (VMEM scratch scales with the tile, not the frame width), constrained
+    to tiles that are 128-lane multiples.  Falls back to 128-lane tiles
+    when no divisor fits."""
+    lanes128 = w_pad // 128
+    want = max(requested, -(-w_pad // max_tile))
+    for g in range(want, lanes128 + 1):
+        if lanes128 % g == 0:
+            return g
+    return lanes128
+
+
 def block_candidate_lists(cands: Candidates, member, rows_per_block: int,
                           config: RenderConfig, tables: ShadowTables,
                           max_per_block: int):
@@ -595,7 +610,7 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     H = oy.shape[0]
     w_pad = oy.shape[1]
     R = rows_per_block
-    G = lane_groups
+    G = effective_lane_groups(w_pad, lane_groups)
 
     member_words = pack_member_words(member)
     n_words = member_words.shape[1]

@@ -305,7 +305,11 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
     H = cfg.view_height
     R = rows_per_block
 
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 1)
+    # w_pad here is the LANE-TILE width (the full padded width divided by
+    # the lane-tile grid axis); lane_i carries the global lane index.
+    wt0 = pl.program_id(2) * w_pad
+    lane_i = (jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 1)
+              + wt0)
     cand_i = jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 0)
 
     valid = tab_ref[0, 0, 0]
@@ -425,7 +429,8 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
 def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
                       rows_per_block: int = 8, w_pad: int | None = None,
                       segments=None, row0=None, n_rows: int | None = None,
-                      packed_picks: bool = False):
+                      packed_picks: bool = False,
+                      max_lane_tile: int = 1024):
     """Run the kernel; returns per-pixel winning keys (n_rows, w_pad) int32.
 
     ``tables`` may carry a leading frame axis (F, n_fields, HH, NC, w_pad):
@@ -439,6 +444,12 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     ``jax.lax.axis_index``) and rides scalar prefetch so the per-block
     table slice can be indexed by absolute bin row; it must be a multiple
     of ``rows_per_block`` so row blocks stay inside one bin row.
+
+    Wide frames ride a lane-tile grid axis: every phase of the kernel is
+    per-lane independent, so blocks beyond ``max_lane_tile`` lanes split
+    into 512-lane tiles (VMEM scratch and table slices scale with the
+    tile, not the frame width — a 4096-wide supersampled frame would
+    otherwise blow the ~16 MB VMEM budget).
     """
     cfg = config
     batched = tables.ndim == 5
@@ -454,6 +465,11 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     row0 = jnp.asarray(row0, jnp.int32).reshape(1)
     if w_pad is None:
         w_pad = -(-cfg.view_width // 128) * 128
+    wt = w_pad if w_pad <= max_lane_tile else min(512, max_lane_tile)
+    while w_pad % wt:
+        wt -= 128
+    assert wt >= 128 and w_pad % wt == 0
+    WT = w_pad // wt
     n_cands = tables.shape[3]
     nc2 = 1
     while nc2 < n_cands:
@@ -465,28 +481,29 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
 
     kernel = functools.partial(_trace_kernel, config=cfg,
                                rows_per_block=R, n_cands=n_cands, nc2=nc2,
-                               w_pad=w_pad, segments=segments,
+                               w_pad=wt, segments=segments,
                                compact=compact, packed_picks=packed_picks)
     # Interpreter mode on non-TPU backends (CPU tests validate the kernel
     # logic; compiled Mosaic runs on real TPUs).
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     out = jax.ShapeDtypeStruct((F, n_rows, w_pad), jnp.int32)
     n_out = 4 if packed_picks else 7
-    spec = pl.BlockSpec((1, R, w_pad), lambda f, i, *_: (f, i, 0),
+    spec = pl.BlockSpec((1, R, wt), lambda f, i, w, *_: (f, i, w),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # row0
-        grid=(F, n_rows // R),
+        grid=(F, n_rows // R, WT),
         in_specs=[pl.BlockSpec(
-            (1, tables.shape[1], 1, n_cands, w_pad),
-            lambda f, i, row0_ref: (f, 0, (row0_ref[0] + i * R) // bs, 0, 0),
+            (1, tables.shape[1], 1, n_cands, wt),
+            lambda f, i, w, row0_ref: (f, 0, (row0_ref[0] + i * R) // bs,
+                                       0, w),
             memory_space=pltpu.VMEM)],
         out_specs=(spec,) * n_out,
         scratch_shapes=[
-            pltpu.VMEM((cfg.hash_length * R, w_pad), jnp.int32),
-            pltpu.VMEM((cfg.hash_length, w_pad), jnp.int32),
-            pltpu.VMEM((R * n_cands, w_pad), jnp.int32),
-            pltpu.VMEM((R * n_cands, w_pad), jnp.int32),
+            pltpu.VMEM((cfg.hash_length * R, wt), jnp.int32),
+            pltpu.VMEM((cfg.hash_length, wt), jnp.int32),
+            pltpu.VMEM((R * n_cands, wt), jnp.int32),
+            pltpu.VMEM((R * n_cands, wt), jnp.int32),
         ],
     )
     outs = pl.pallas_call(

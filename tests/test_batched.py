@@ -126,6 +126,29 @@ class TestMembershipWords:
             np.asarray(pack_member_words(dense)))
 
 
+class TestTraceLaneTiling:
+    def test_lane_tiled_kernel_matches_full_width(self):
+        # Wide frames split the trace kernel over a lane-tile grid axis;
+        # every phase is per-lane independent, so a forced 128-lane tiling
+        # of the standard 512-lane frame must be bit-identical.
+        from pixel_art_raytracer_tpu.ops import trace_pallas as tp
+
+        cfg = DEFAULT_CONFIG
+        scene = demo_world(10)
+        r = make_anim(scene, batched=False).renderer
+        ds = DeviceScene.from_scene(scene)
+        be, cnt = jax.jit(r.build_bins)(ds)
+        w_pad = -(-cfg.view_width // 128) * 128
+        d0, slope, segs = tp._resolve_depth_params(
+            ds.atlas_color, (ds.depth_d0, ds.depth_slope), None)
+        tables = tp._expand_tables(ds.pos, ds.ext, ds.sprite_id, d0, slope,
+                                   be, cnt, cfg, w_pad)
+        full = tp.trace_keys_pallas(tables, cfg)
+        tiled = tp.trace_keys_pallas(tables, cfg, max_lane_tile=128)
+        for a, b in zip(full, tiled):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestPackedPickBounds:
     def test_out_of_bounds_scene_uses_unpacked_kernel(self):
         # A scene whose coordinate sums exceed the packed-pick ranges must

@@ -1,0 +1,104 @@
+"""BASELINE config-5 scale bench: supersampled big-scene rendering.
+
+Renders a 10k-box scene at a 1024x1024 base resolution with s-times
+supersampling (the render runs at (1024*s)^2 — lane-tiled Pallas kernels)
+and reports per-frame time and Mrays/s at the *traced* resolution.
+
+Usage: python tools/bench_scale.py [factor=2] [iters=3]
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from pixel_art_raytracer_tpu.config import RenderConfig
+    from pixel_art_raytracer_tpu.scene import SceneBuilder
+    from pixel_art_raytracer_tpu.models.supersample import (
+        SupersampledRenderer, scaled_config)
+    from pixel_art_raytracer_tpu.ops import shadow_fast
+
+    cfg = RenderConfig(view_width=1024, view_height=1024, view_length=320)
+    b = SceneBuilder(config=cfg)
+    b.insert((500, 36, 80), (20, 20, 20))            # player
+    n = 1
+    i = 0
+    while n < 10_000:                                 # 10k-box floor+piers
+        x = (i * 37) % 1040
+        z = (i * 53) % 300
+        y = 20 if (i % 7 == 0) else 0
+        b.insert((x, y, z), (20, 20, 20))
+        n += 1
+        i += 1
+    scene = b.build()
+    print(f"scene: {scene.n_entities} entities; render at "
+          f"{1024 * factor}x{1024 * factor} (s={factor})")
+
+    F = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    ss = SupersampledRenderer(
+        cfg, factor=factor, shadow_impl="pallas", trace_impl="auto",
+        shadow_tables=shadow_fast.default_tables(
+            scaled_config(cfg, factor),
+            max_steps=16 * factor, max_candidates=6144))
+    ds = ss.prepare(scene)
+    light = jnp.asarray([512, 200, 80], jnp.int32)
+
+    t0 = time.time()
+    frame = np.asarray(ss.render(ds, light))
+    print(f"single frame (incl. compile): {time.time() - t0:.1f}s, "
+          f"frame {frame.shape}, mean {frame.mean():.1f}")
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _ = np.asarray(ss.render(ds, light))
+        best = min(best, time.perf_counter() - t0)
+    side = 1024 * factor
+    rays = 2 * side * side
+    print(f"single-frame best {best * 1e3:.1f} ms/frame at {side}x{side} "
+          f"-> {rays / best / 1e6:.1f} Mrays/s "
+          f"({rays / 1e6:.1f} Mrays/frame)")
+
+    # Batched animation at scale: F frames through the whole-batch
+    # pipeline (one launch per kernel), light sweep, frames delivered.
+    import jax
+
+    from pixel_art_raytracer_tpu.models.animation import AnimationRenderer
+    from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
+
+    anim = AnimationRenderer(ss.renderer, ss.config,
+                             static_bins=StaticBins(
+                                 ds.pos, ds.ext, 1, ss.config,
+                                 ss.renderer.spans))
+    players, lights = anim.light_sweep_states(
+        F, ds.pos[0], center=(512 * factor, 200 * factor, 80 * factor),
+        radius=40 * factor)
+
+    @jax.jit
+    def run(players, lights):
+        frames = anim._render_states(ds, players, lights)
+        return frames, frames.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+
+    t0 = time.time()
+    _ = np.asarray(run(players, lights)[1])
+    print(f"batched F={F} (incl. compile): {time.time() - t0:.1f}s")
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _ = np.asarray(run(players, lights)[1])
+        best = min(best, time.perf_counter() - t0)
+    print(f"batched best {best * 1e3 / F:.1f} ms/frame -> "
+          f"{rays * F / best / 1e6:.1f} Mrays/s")
+
+
+if __name__ == "__main__":
+    main()
