@@ -116,6 +116,20 @@ class AnimationRenderer:
         # Mrays/s on graybox) — default off; a runtime guard reroutes
         # overflowing frames to the uncompacted kernel either way.
         self.trace_compact = None
+        # Structured slot compaction: keep only the first k slots of every
+        # bin in the trace tables (live entries are a slot prefix; the
+        # early-exit bookkeeping stays slice-based).  Derived bound =
+        # static per-bin max + one per dynamic entity (exactness comes
+        # from the runtime max(counts) guard either way — a frame beyond
+        # the bound reroutes to the full-cap kernel); graybox: 6+1=7 of 8
+        # (-12.5% trace rows).  None = full capacity.
+        self.trace_slot_cap = None
+        if static_bins is not None:
+            cap = self.config.bin_capacity
+            smax = int((np.asarray(static_bins.static_total)
+                        & (cap - 1)).max())
+            sc = min(cap, smax + static_bins.n_dynamic)
+            self.trace_slot_cap = sc if sc < cap else None
         self._render_states_jit = jax.jit(self._render_states)
 
     def enable_trace_compaction(self) -> "AnimationRenderer":
@@ -179,7 +193,8 @@ class AnimationRenderer:
                                          shadow_rows=self.shadow_rows,
                                          trace_compact=self.trace_compact,
                                          lane_groups=self.shadow_lane_groups,
-                                         trace_rows=self.trace_rows)
+                                         trace_rows=self.trace_rows,
+                                         trace_slot_cap=self.trace_slot_cap)
         G = self.frames_per_step
         while F % G:
             G -= 1

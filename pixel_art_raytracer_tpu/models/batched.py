@@ -42,6 +42,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                           lane_groups: int = 1,
                           trace_rows: int = 8,
                           shadow_chunk: int = 8,
+                          trace_slot_cap: int | None = None,
                           upto: str | None = None) -> jax.Array:
     """Render F frames as one batched device program.
 
@@ -117,7 +118,8 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         dscene.atlas_normal, dscene.palette, bins_ent, counts, dyn_pos,
         cfg, params, r.normal_bands, r.color_rects, r.depth_segments,
         n_compact=ncc, rows_per_block=trace_rows,
-        packed_picks=r.trace_packed)
+        packed_picks=r.trace_packed,
+        slot_cap=None if ncc is not None else trace_slot_cap)
 
     if upto == "trace":
         mix = (gbuf.entity_index + gbuf.y + gbuf.z

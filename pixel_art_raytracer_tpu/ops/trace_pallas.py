@@ -158,7 +158,8 @@ def color_rects(color: np.ndarray, max_rects: int = 32):
 
 def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
                    config: RenderConfig, w_pad: int, dyn_pos=None,
-                   n_compact: int | None = None):
+                   n_compact: int | None = None,
+                   slot_cap: int | None = None):
     """Build lane-expanded candidate field tables.
 
     Returns a stacked array ``[n_fields, HH, C*HL, w_pad]`` int32 with field
@@ -176,7 +177,15 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
     bookkeeping.  Candidates beyond the bound are dropped — callers guard
     with the per-column live total (see models/batched.py).  On the graybox
     the mean column has ~9 live entries of 64, so the kernel's vector work
-    shrinks ~2.7x.
+    shrinks ~2.7x.  [Measured slower than slot_cap — the bin-z masked
+    maxima the early-exit needs outweigh the smaller tables.]
+
+    ``slot_cap``: keep only the first ``slot_cap`` SLOTS of every bin — a
+    static slice (live entries are a slot prefix) that preserves the
+    kernel's structured per-bin layout, so the early-exit bookkeeping
+    stays slice-based.  Exact only when every bin count <= slot_cap;
+    callers guard with max(counts) and reroute to the full-cap kernel
+    (graybox peaks at 6 of 8).  Mutually exclusive with ``n_compact``.
     """
     cfg = config
     HW, HH, HL = cfg.hash_width, cfg.hash_height, cfg.hash_length
@@ -217,6 +226,10 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
     ]
     stacked = jnp.stack(fields)                               # (F, HH, HL, cap, HW)
     F = stacked.shape[0]
+    if slot_cap is not None and slot_cap < cap:
+        assert n_compact is None
+        stacked = stacked[:, :, :, :slot_cap]
+        NC = HL * slot_cap
     stacked = stacked.reshape(F, HH, NC, HW)
     if n_compact is not None:
         NCc = n_compact
@@ -300,8 +313,10 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
         (key_ref, ent_ref, sdep_ref, pz_ref, rb_ref, px_ref, sid_ref,
          mkey_scr, empty_scr, keys_scr, sdeps_scr) = refs
     cfg = config
-    cap = cfg.bin_capacity
     HL = cfg.hash_length
+    # Structured layouts carry n_cands = HL * cap rows (cap may be a
+    # slot-compacted bin capacity); compact layouts use bin-z masks.
+    cap = n_cands // HL
     H = cfg.view_height
     R = rows_per_block
 
@@ -647,7 +662,8 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                                 bands=None, rects=None, segments=None,
                                 n_compact: int | None = None,
                                 rows_per_block: int = 8,
-                                packed_picks: bool = False) -> GBufferArrays:
+                                packed_picks: bool = False,
+                                slot_cap: int | None = None) -> GBufferArrays:
     """Primary visibility for a whole animation batch in ONE kernel launch.
 
     ``bins_ent`` (F, V, cap) / ``counts`` (F, V): per-frame bin tables (from
@@ -665,21 +681,19 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                                                 segments)
     w_pad = -(-cfg.view_width // 128) * 128
 
-    def winners_with(ncc):
+    def winners_with(ncc, sc=None):
         def fn():
             tables = jax.vmap(
                 lambda be, cnt, dp: _expand_tables(
                     pos, ext, sprite_id, d0, slope, be, cnt, cfg, w_pad,
-                    dyn_pos=dp, n_compact=ncc)
+                    dyn_pos=dp, n_compact=ncc, slot_cap=sc)
             )(bins_ent, counts, dyn_pos)
             return trace_keys_pallas(tables, cfg, segments=segments,
                                      rows_per_block=rows_per_block,
                                      packed_picks=packed_picks)
         return fn
 
-    if n_compact is None:
-        winners = winners_with(None)()
-    else:
+    if n_compact is not None:
         # Column-live totals can exceed the compact bound on hostile
         # frames: reroute the batch to the uncompacted kernel (exact for
         # any scene) rather than silently dropping candidates.
@@ -689,6 +703,14 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
         ok = jnp.max(col_live) <= n_compact
         winners = jax.lax.cond(ok, winners_with(n_compact),
                                winners_with(None))
+    elif slot_cap is not None and slot_cap < cfg.bin_capacity:
+        # Slot compaction is exact iff no bin holds more entries than the
+        # cap this batch; hostile frames reroute to the full-cap kernel.
+        ok = jnp.max(counts) <= slot_cap
+        winners = jax.lax.cond(ok, winners_with(None, slot_cap),
+                               winners_with(None))
+    else:
+        winners = winners_with(None)()
     return jax.vmap(
         lambda w: gbuffer_from_winners(w, atlas_color, atlas_normal,
                                        palette, cfg, bands, rects)

@@ -90,6 +90,20 @@ class TestBatchedParity:
         f4 = np.asarray(a4.render_states(ds, players, lights))
         np.testing.assert_array_equal(f4, f1)
 
+    def test_slot_cap_reroute_matches(self):
+        # A deliberately too-small slot cap must reroute (runtime
+        # max(counts) guard) to the full-capacity kernel and still match;
+        # the auto-derived cap is exercised by test_matches_scan_path.
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        a_scan = make_anim(scene, batched=False)
+        a_bat = make_anim(scene, batched=True)
+        a_bat.trace_slot_cap = 1
+        players, lights = sweep(a_scan, scene, 2)
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)
+
     def test_dithered_style(self):
         scene = demo_world(6)
         ds = DeviceScene.from_scene(scene)

@@ -47,6 +47,30 @@ def main():
         diff = 0 if ok else int((frame != img_p).any(-1).sum())
         print(f"trace={trace_impl:6s} shadow={shadow_impl:6s} "
               f"exact={ok} diff_px={diff} ({time.time()-t0:.0f}s)")
+    # Whole-batch pipeline (the bench path: frame-grid kernels, batched
+    # prep, slot compaction, lane groups) vs per-frame renders — on the
+    # compiled backend.
+    from pixel_art_raytracer_tpu.models.animation import AnimationRenderer
+    from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
+
+    r = DeferredRenderer(cfg, shadow_impl="pallas", trace_impl="auto",
+                         shadow_tables=tables)
+    r.configure_for(scene)
+    cache = StaticBins(scene.pos, scene.ext, 1, cfg, r.spans)
+    anim = AnimationRenderer(r, cfg, static_bins=cache)
+    players, lights = anim.light_sweep_states(
+        2, scene.pos[0], center=(light.x, light.y, light.z), radius=40)
+    t0 = time.time()
+    batch = np.asarray(anim.render_states(ds, players, lights))
+    singles = np.stack([
+        np.asarray(r.render(ds, lights[k])) for k in range(2)])
+    ok = np.array_equal(batch, singles)
+    failures += 0 if ok else 1
+    diff = 0 if ok else int((batch != singles).any(-1).sum())
+    print(f"batched pipeline (F=2, slot_cap={anim.trace_slot_cap}, "
+          f"G={anim.shadow_lane_groups}) exact={ok} diff_px={diff} "
+          f"({time.time()-t0:.0f}s)")
+
     print("PARITY OK" if failures == 0 else f"PARITY FAILURES: {failures}")
     sys.exit(1 if failures else 0)
 
