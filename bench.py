@@ -19,7 +19,7 @@ grid-edge positions (DDA corridors lengthen near the edge, making shadow
 cost light-position dependent).  The headline is the median orbit; the
 worst is reported alongside.
 
-The headline is SUSTAINED throughput: 4 back-to-back batch dispatches
+The headline is SUSTAINED throughput: 8 back-to-back batch dispatches
 timed together (the continuous stream the reference's interactive loop
 renders), which overlaps the fixed per-dispatch tunnel cost with device
 compute.  Single-batch numbers are reported alongside.
@@ -44,9 +44,12 @@ def measure_cpp_baseline(scene, light, config) -> float:
     from pixel_art_raytracer_tpu.runtime import native
 
     if not native.native_available():
-        return 2.26  # measured on the dev host; fallback when no toolchain
+        return 7.2  # idle-host best; fallback when no toolchain
+    # Best-of-5: the C++ number is load-sensitive (contended runs read 2x
+    # slow, inflating our ratio) — callers measure BEFORE spinning up the
+    # TPU work so the baseline gets an idle host.
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         native.cpp_render_frame(scene, light)
         best = min(best, time.perf_counter() - t0)
@@ -89,6 +92,9 @@ def main() -> None:
 
     scene = graybox_world(config)
     light = default_light(config)
+    # Baseline first: the single-thread C++ measurement needs an idle host
+    # (the TPU client's dispatch threads slow it 2x, inflating our ratio).
+    baseline = measure_cpp_baseline(scene, light, config)
     tables = shadow_fast.default_tables(config, max_candidates=1024)
     renderer = DeferredRenderer(config, shadow_impl="pallas",
                                 trace_impl="auto", shadow_tables=tables)
@@ -138,7 +144,7 @@ def main() -> None:
     def run_delivered_cs(dscene, players, lights):
         return run_delivered(dscene, players, lights)[1]
 
-    def time_sustained(players, lights, bursts: int = 4) -> float:
+    def time_sustained(players, lights, bursts: int = 8) -> float:
         """Per-batch wall time of ``bursts`` back-to-back dispatches
         materialised together — sustained rendering (the continuous
         stream the reference's interactive loop is): queued programs
@@ -172,12 +178,11 @@ def main() -> None:
         return vals[len(vals) // 2]
 
     median = median_of(sustained)
-    baseline = measure_cpp_baseline(scene, light, config)
 
     print(json.dumps({
         "metric": "full-pipeline sustained throughput, frames delivered "
                   "(graybox 480x320, primary+shadow, median of 3 light"
-                  " orbits, 4 back-to-back batches)",
+                  " orbits, 8 back-to-back batches)",
         "value": round(median, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(median / baseline, 2),

@@ -60,44 +60,17 @@ def effective_lane_groups(w_pad: int, requested: int = 1,
     return lanes128
 
 
-def block_candidate_lists(cands: Candidates, member, rows_per_block: int,
-                          config: RenderConfig, tables: ShadowTables,
-                          max_per_block: int):
-    """Per-row-block pruned candidate index lists.
-
-    A candidate survives for a block when ``member[start, cand.bin]`` is set
-    for some start bin reachable from the block: sx free, sy in {block row
-    band, background row}, sz free.  Returns (lists (NB, max_per_block) i32,
-    counts (NB,) i32, overflow bool).
-    """
-    cfg = config
-    H = cfg.view_height
-    NB = H // rows_per_block
-    SY = cfg.hash_height + 1
-    SZ = tables.sz_hi - tables.sz_lo
-
-    m = member.reshape(cfg.hash_width, SY, SZ, -1)
-    per_sy = m.any(axis=(0, 2))                                   # (SY, V)
-    block_sy = (jnp.arange(NB, dtype=jnp.int32) * rows_per_block) // cfg.bin_size
-    reach = per_sy[block_sy] | per_sy[cfg.hash_height][None, :]   # (NB, V)
-
-    rel = cands.valid[None, :] & reach[:, cands.bin]              # (NB, M)
-    counts = rel.sum(axis=1)
-    overflow = (counts > max_per_block).any() | cands.overflow
-    order = jnp.argsort(~rel, axis=1, stable=True)[:, :max_per_block]
-    return order.astype(jnp.int32), counts.astype(jnp.int32), overflow
-
-
 def used_block_relevance(member, szidx, bg, config: RenderConfig,
                          tables: ShadowTables, rows_per_block: int,
                          row0=0, lane_groups: int | None = None):
     """Exact per-block bin relevance from the frame's *actual* start bins.
 
-    ``block_candidate_lists`` prunes by which starts are reachable; this
-    prunes by which starts this frame's pixels actually occupy: a block's
-    relevance is the OR of membership rows over the (sx, sz | background)
-    start combinations present among its pixels.  Dropping a bin with no
-    present start is exact — every pixel's membership bit for it is zero.
+    A block's relevance is the OR of membership rows over the
+    (sx, sz | background) start combinations present among its pixels.
+    Dropping a bin with no present start is exact — every pixel's
+    membership bit for it is zero.  (Reference dense-bitmap form;
+    production paths use the packed-word ``tile_candidate_relevance``,
+    unit-tested equal.)
 
     ``row0``: absolute screen row of szidx/bg's first row (row-sharded
     windows pass their shard offset).
