@@ -589,9 +589,9 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     n_words = member_words.shape[1]
     t_row, t_bg = lane_member_tables(member_words, cfg, tables, R, w_pad,
                                      row0=row0, n_rows=H)
-    rel = used_block_relevance(member, szidx, bg, cfg, tables, R, row0=row0,
-                               lane_groups=None if G == 1 else G)
-    lists, blk_counts = candidate_lists_from_relevance(cands, rel)
+    relc = tile_candidate_relevance(member_words, szidx, bg, cands, cfg,
+                                    tables, R, row0=row0, lane_groups=G)
+    lists, blk_counts = candidate_lists_from_relc(relc)
 
     M = cands.bin.shape[0]
     assert M % 8 == 0
