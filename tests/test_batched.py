@@ -140,6 +140,44 @@ class TestMembershipWords:
             np.asarray(pack_member_words(dense)))
 
 
+class TestAlternateConfigBatched:
+    def test_batched_matches_scan_on_alt_config(self):
+        # Non-default view/bin geometry through the whole batched pipeline
+        # (different hash dims, row-block counts, sz table range).
+        import dataclasses
+
+        from pixel_art_raytracer_tpu.scene import SceneBuilder
+
+        cfg = dataclasses.replace(DEFAULT_CONFIG, view_width=256,
+                                  view_height=160, view_length=256)
+        b = SceneBuilder(config=cfg)
+        b.insert((120, 36, 40), (20, 20, 20))
+        for i in range(5):
+            for j in range(3):
+                b.insert((i * 40, 0, j * 36), (20, 20, 20))
+        scene = b.build()
+        ds = DeviceScene.from_scene(scene, cfg)
+        tables = shadow_fast.default_tables(cfg, max_candidates=256)
+
+        def anim_for(batched):
+            r = DeferredRenderer(cfg, shadow_impl="pallas",
+                                 trace_impl="auto", shadow_tables=tables)
+            r.configure_for(scene)
+            from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
+            cache = StaticBins(scene.pos, scene.ext, 1, cfg, r.spans)
+            return AnimationRenderer(r, cfg, static_bins=cache,
+                                     batched=batched)
+
+        a_scan, a_bat = anim_for(False), anim_for(True)
+        assert a_bat._batched_capable(ds)
+        light = (128, 80, 40)
+        players, lights = a_scan.light_sweep_states(
+            2, scene.pos[0], center=light, radius=30)
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)
+
+
 class TestTraceLaneTiling:
     def test_lane_tiled_kernel_matches_full_width(self):
         # Wide frames split the trace kernel over a lane-tile grid axis;
