@@ -44,7 +44,11 @@ def measure_cpp_baseline(scene, light, config) -> float:
     from pixel_art_raytracer_tpu.runtime import native
 
     if not native.native_available():
-        return 7.2  # idle-host best; fallback when no toolchain
+        # No fabricated numbers: without the C++ oracle there is no honest
+        # vs_baseline ratio (and no parity anchor).
+        raise RuntimeError(
+            "native C++ oracle unavailable (no toolchain?) — cannot measure "
+            "the reference baseline; refusing to fabricate one")
     # Best-of-5: the C++ number is load-sensitive (contended runs read 2x
     # slow, inflating our ratio) — callers measure BEFORE spinning up the
     # TPU work so the baseline gets an idle host.
@@ -95,7 +99,7 @@ def main() -> None:
     # Baseline first: the single-thread C++ measurement needs an idle host
     # (the TPU client's dispatch threads slow it 2x, inflating our ratio).
     baseline = measure_cpp_baseline(scene, light, config)
-    tables = shadow_fast.default_tables(config, max_candidates=1024)
+    tables = shadow_fast.derive_tables(config, scene)
     renderer = DeferredRenderer(config, shadow_impl="pallas",
                                 trace_impl="auto", shadow_tables=tables)
     renderer.configure_for(scene)
@@ -173,6 +177,21 @@ def main() -> None:
     fused_center = rays / time_runs(run_fused, dscene,
                                     *sweeps["center"]) / 1e6
 
+    # Parity certificate: the SAME timed program's first frame, fetched to
+    # host, must pixel-match the single-thread C++ oracle on the identical
+    # state — a bench run that silently regressed parity fails here instead
+    # of recording a healthy number (the oracle itself is golden-gated
+    # against the NumPy transcription of alternative.cpp in tests/).
+    from pixel_art_raytracer_tpu.runtime import native
+    from pixel_art_raytracer_tpu.scene import Light
+
+    players_c, lights_c = sweeps["center"]
+    frame0 = np.asarray(run_delivered(dscene, players_c, lights_c)[0][0])
+    l0 = np.asarray(lights_c[0])
+    golden, _ = native.cpp_render_frame(
+        scene, Light(int(l0[0]), int(l0[1]), int(l0[2])), config)
+    parity = bool(np.array_equal(frame0, golden))
+
     def median_of(d):
         vals = sorted(d.values())
         return vals[len(vals) // 2]
@@ -194,7 +213,13 @@ def main() -> None:
         "checksum_fused_center": round(fused_center, 2),
         "frames": n_frames,
         "baseline_cpp_mrays": round(baseline, 2),
+        "parity": parity,
     }))
+    if not parity:
+        diff = int((frame0 != golden).any(-1).sum())
+        print(f"PARITY FAILURE: {diff} pixels differ from the C++ oracle",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -164,7 +164,9 @@ class AnimationRenderer:
                       lights: jax.Array) -> jax.Array:
         """Render one frame per state row.
 
-        player_pos: (F, 3) int32, lights: (F, 3) int32.
+        player_pos: (F, 3) int32; lights: (F, 3) int32 — or (F, L, 3) for
+        additive multi-light frames (the batched pipeline runs its shadow
+        phases once per light; see models/batched.py).
         Returns (F, H, W, 3) uint8.  Compiled once per (scene shape, F).
         """
         return self._render_states_jit(dscene, player_pos, lights)
@@ -179,6 +181,14 @@ class AnimationRenderer:
         else:
             bins_ent, counts = r.build_bins(scene_f)
         gbuf = r.trace(scene_f, bins_ent, counts)
+        if light.ndim == 2:
+            # Multi-light frame on the scan path (ops.shade.shade_multi).
+            from ..ops import shade as shade_ops
+
+            return shade_ops.shade_multi(
+                scene_f.pos, scene_f.ext, gbuf, bins_ent, counts, light,
+                self.config, r.shadow_max_steps, r.shadow_impl,
+                r.shadow_tables)
         return r.shade(scene_f, gbuf, bins_ent, counts, light)
 
     def _render_states(self, dscene, player_pos, lights):
@@ -195,7 +205,7 @@ class AnimationRenderer:
                                          lane_groups=self.shadow_lane_groups,
                                          trace_rows=self.trace_rows,
                                          trace_slot_cap=self.trace_slot_cap)
-        G = self.frames_per_step
+        G = self.frames_per_step if lights.ndim == 2 else 1
         while F % G:
             G -= 1
 

@@ -49,7 +49,12 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     ``renderer``: a DeferredRenderer configured for the scene (Pallas trace
     path and Pallas shadow impl required — AnimationRenderer falls back to
     the scan path otherwise).  ``static_bins``: StaticBins cache (or None
-    for a vmapped full rebuild).  players/lights: (F, 3) int32.
+    for a vmapped full rebuild).  players: (F, 3) int32.  lights: (F, 3)
+    int32 — or (F, L, 3) for additive multi-light shading (the framework
+    extension of the reference's light *vector*, alternative.cpp:624-626):
+    stages 3-4 (shadow prep + kernel) run once per light on the same
+    (F, row_blocks) grid, and the per-light diffuse factors accumulate over
+    the shared ambient base exactly as ops.shade.shade_multi.
     ``shadow_rows``: screen rows per shadow-kernel block (must divide the
     bin size and the view height; bigger blocks amortise the per-candidate
     scalar loads).  Returns (F, H, W, 3) uint8, pixel-identical to the
@@ -57,7 +62,8 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
 
     ``upto`` (profiling only): stop after a stage and return a small
     checksum array instead of frames — one of "bins", "trace", "prep"
-    (everything up to the shadow-kernel launch), "shadow".
+    (everything up to the shadow-kernel launch), "shadow"; multi-light
+    applies them to the first light only.
     """
     r = renderer
     cfg: RenderConfig = r.config
@@ -127,123 +133,169 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                + gbuf.normal.sum(-1).astype(jnp.int32))
         return mix.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
 
-    # -- 3. shadow prep, all frames at once ----------------------------------
-    tl, inv, origin, rb, lb = jax.vmap(
-        lambda g, l: shade_ops.light_geometry(g, l, cfg))(gbuf, lights)
+    # -- 3+4. shadow prep + kernel, once per light --------------------------
+    multi = lights.ndim == 3
+    lights_l = lights if multi else lights[:, None, :]
+    L = lights_l.shape[1]
 
-    words = jax.vmap(
-        lambda lbf: shadow_fast.dda_membership_words(lbf, cfg, tables))(lb)
-    n_words = words.shape[-1]
-
-    if upto == "geom":
-        return (inv[0].reshape(F, -1).sum(axis=1).astype(jnp.int32)
-                + tl[0].reshape(F, -1).sum(axis=1).astype(jnp.int32)
-                + rb[2].reshape(F, -1).sum(axis=1)
-                + words.reshape(F, -1).sum(axis=1).astype(jnp.int32))
-
-    # tested_any per frame from the word OR over starts (no dense member).
-    any_words = jax.lax.reduce(words, jnp.uint32(0), jax.lax.bitwise_or,
-                               (1,))                       # (F, n_words)
-    tested_any = jax.vmap(
-        lambda w: shadow_fast.unpack_member_words(w[None], cfg)[0]
-    )(any_words)                                           # (F, V)
-
-    cands = jax.vmap(
-        lambda be, cnt, ta, dp: shadow_fast.build_candidates(
-            dscene.pos, dscene.ext, be, cnt, None, cfg, tables,
-            tested_any=ta, dyn_pos=dp)
-    )(bins_ent, counts, tested_any, dyn_pos)
-
+    # Light-independent pixel inputs (origin/ray-bin come out of the
+    # geometry call but don't depend on the light; XLA CSEs the repeats).
+    _, _, origin, rb, _ = jax.vmap(
+        lambda g, l: shade_ops.light_geometry(g, l, cfg))(gbuf,
+                                                          lights_l[:, 0])
     szidx = _padw(jnp.clip(rb[2] - tables.sz_lo, 0, SZ - 1), w_pad)
     # Background pixels (zero G-buffer y/z, quirk Q6) use the aliased
     # background start row; wy+wz == world_j >= 1 for hits.
     bg = _padw(((gbuf.y + gbuf.z) == 0).astype(jnp.int32), w_pad)
-
-    if upto == "cands":
-        return (cands.bin.reshape(F, -1).sum(axis=1)
-                + szidx.reshape(F, -1).sum(axis=1)
-                + bg.reshape(F, -1).sum(axis=1))
-
-    G = shadow_pallas.effective_lane_groups(
-        w_pad, lane_groups if w_pad % (lane_groups * 128) == 0 else 1)
-    relc = jax.vmap(
-        lambda w, s, b, c: shadow_pallas.tile_candidate_relevance(
-            w, s, b, c, cfg, tables, R, lane_groups=G)
-    )(words, szidx, bg, cands)
-    if upto == "rel":
-        return relc.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
-
-    lists, blk_counts = jax.vmap(
-        shadow_pallas.candidate_lists_from_relc)(relc)
-    t_row, t_bg = jax.vmap(
-        lambda w: shadow_pallas.lane_member_tables(w, cfg, tables, R, w_pad)
-    )(words)
-    cbin, box, centi = jax.vmap(
-        lambda c: shadow_pallas.candidate_param_tables(c, n_words))(cands)
-
-    M = cands.bin.shape[1]
     ent_p = _padw(gbuf.entity_index, w_pad)
     oy_p, oz_p = _padw(origin[1], w_pad), _padw(origin[2], w_pad)
-    iv_p = tuple(_padw(a, w_pad) for a in inv)
+    G = shadow_pallas.effective_lane_groups(
+        w_pad, lane_groups if w_pad % (lane_groups * 128) == 0 else 1)
 
-    if upto == "prep":
-        return (blk_counts.reshape(F, -1).sum(axis=1)
-                + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
-                + t_row.reshape(F, -1).sum(axis=1).astype(jnp.int32)
-                + cbin.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
-                + box.reshape(F, -1).sum(axis=1).astype(jnp.int32)
-                + iv_p[0].reshape(F, -1).sum(axis=1).astype(jnp.int32))
+    def light_pass(lights_f, upto=None):
+        """Stages 3-4 for one (F, 3) light set -> (tl, lit) (or an ``upto``
+        checksum array)."""
+        tl, inv, _, rb_g, lb = jax.vmap(
+            lambda g, l: shade_ops.light_geometry(g, l, cfg))(gbuf, lights_f)
+        # Shadow-needed mask: a pixel with Lambert dot <= 0 shades to the
+        # ambient factor whether lit or not (min(1, max(0, dot) + ambient)
+        # == ambient, alternative.cpp:744-758), so it can be excluded from
+        # start presence — fewer live candidates per tile, same pixels.
+        # NaN dots (light exactly on the surface point) compare False and
+        # are excluded; their brightness is ambient via the same max(0, ·).
+        dot = (gbuf.normal[..., 0] * tl[0] + gbuf.normal[..., 1] * tl[1]
+               + gbuf.normal[..., 2] * tl[2])
+        needs = _padw((dot > 0).astype(jnp.int32), w_pad)
+        szr = jax.vmap(
+            lambda s, b, n: shadow_pallas.block_sz_ranges(s, b, W, R, SZ,
+                                                          needs=n)
+        )(szidx, bg, needs)
+        words = jax.vmap(
+            lambda lbf: shadow_fast.dda_membership_words(lbf, cfg, tables)
+        )(lb)
+        n_words = words.shape[-1]
 
-    szr = jax.vmap(
-        lambda s, b: shadow_pallas.block_sz_ranges(s, b, W, R, SZ)
-    )(szidx, bg)
+        if upto == "geom":
+            return (inv[0].reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                    + tl[0].reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                    + rb_g[2].reshape(F, -1).sum(axis=1)
+                    + words.reshape(F, -1).sum(axis=1).astype(jnp.int32))
 
-    def fast_lit():
-        lit_pad = shadow_pallas.shadow_call_batched(
-            blk_counts.reshape(F, -1), szr, cbin,
-            lists.reshape(F, H // R, -1, 128),
-            box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
-            iv_p[0], iv_p[1], iv_p[2], cfg, tables, rows_per_block=R,
-            lane_groups=G, chunk=shadow_chunk)
-        return lit_pad[:, :, :W] > 0
+        # tested_any per frame from the word OR over starts (no dense
+        # member).
+        any_words = jax.lax.reduce(words, jnp.uint32(0), jax.lax.bitwise_or,
+                                   (1,))                   # (F, n_words)
+        tested_any = jax.vmap(
+            lambda w: shadow_fast.unpack_member_words(w[None], cfg)[0]
+        )(any_words)                                       # (F, V)
 
-    if r.shadow_guard == "fallback":
-        # Static-bound validation over the whole batch: any violating frame
-        # reroutes the batch to the exact dynamically-bounded march (shadow
-        # correctness is never silently lost; see ops/shade.py).
-        from ..ops.shadow import trace_light_dynamic
+        cands = jax.vmap(
+            lambda be, cnt, ta, dp: shadow_fast.build_candidates(
+                dscene.pos, dscene.ext, be, cnt, None, cfg, tables,
+                tested_any=ta, dyn_pos=dp)
+        )(bins_ent, counts, tested_any, dyn_pos)
 
-        steps = jax.vmap(shade_ops.max_needed_steps)(rb, lb)
-        sz_ok = jnp.all((rb[2] >= tables.sz_lo) & (rb[2] < tables.sz_hi))
-        ok = (~jnp.any(cands.overflow) & sz_ok
-              & (jnp.max(steps) <= tables.max_steps))
+        if upto == "cands":
+            return (cands.bin.reshape(F, -1).sum(axis=1)
+                    + szidx.reshape(F, -1).sum(axis=1)
+                    + bg.reshape(F, -1).sum(axis=1))
 
-        def slow_lit():
-            def one(args):
-                p, g, rbf, lbf, of, invf = args
-                pos_f = dscene.pos.at[0].set(p)
-                if static_bins is not None:
-                    be, cnt = static_bins.merge(pos_f[:1], dscene.ext[:1])
-                else:
-                    from ..ops import binning
+        relc = jax.vmap(
+            lambda w, s, b, c, n: shadow_pallas.tile_candidate_relevance(
+                w, s, b, c, cfg, tables, R, lane_groups=G, needs=n)
+        )(words, szidx, bg, cands, needs)
+        if upto == "rel":
+            return relc.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
 
-                    be, cnt = binning.build_bins(pos_f, dscene.ext, cfg,
-                                                 r.spans)
-                return trace_light_dynamic(pos_f, dscene.ext, be, cnt,
-                                           rbf, lbf, g, of, invf, cfg)
+        lists, blk_counts = jax.vmap(
+            shadow_pallas.candidate_lists_from_relc)(relc)
+        t_row, t_bg = jax.vmap(
+            lambda w: shadow_pallas.lane_member_tables(w, cfg, tables, R,
+                                                       w_pad)
+        )(words)
+        cbin, box, centi = jax.vmap(
+            lambda c: shadow_pallas.candidate_param_tables(c, n_words)
+        )(cands)
 
-            return jax.lax.map(
-                one, (players, gbuf.entity_index, rb, lb, origin, inv))
+        iv_p = tuple(_padw(a, w_pad) for a in inv)
 
-        lit = jax.lax.cond(ok, fast_lit, slow_lit)
-    else:
-        lit = fast_lit()
+        if upto == "prep":
+            return (blk_counts.reshape(F, -1).sum(axis=1)
+                    + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+                    + t_row.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                    + cbin.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+                    + box.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                    + iv_p[0].reshape(F, -1).sum(axis=1).astype(jnp.int32))
 
-    if upto == "shadow":
-        return lit.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+        def fast_lit():
+            lit_pad = shadow_pallas.shadow_call_batched(
+                blk_counts.reshape(F, -1), szr, cbin,
+                lists.reshape(F, H // R, -1, 128),
+                box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
+                iv_p[0], iv_p[1], iv_p[2], cfg, tables, rows_per_block=R,
+                lane_groups=G, chunk=shadow_chunk)
+            return lit_pad[:, :, :W] > 0
+
+        if r.shadow_guard == "fallback":
+            # Static-bound validation over the whole batch: any violating
+            # frame reroutes the batch to the exact dynamically-bounded
+            # march (shadow correctness is never silently lost; see
+            # ops/shade.py).
+            from ..ops.shadow import trace_light_dynamic
+
+            steps = jax.vmap(shade_ops.max_needed_steps)(rb_g, lb)
+            # Only pixels whose output depends on the shadow result need
+            # in-range start rows (excluded pixels shade to ambient either
+            # way).
+            sz_in = ((rb_g[2] >= tables.sz_lo) & (rb_g[2] < tables.sz_hi))
+            sz_ok = jnp.all(sz_in | ~(dot > 0))
+            ok = (~jnp.any(cands.overflow) & sz_ok
+                  & (jnp.max(steps) <= tables.max_steps))
+
+            def slow_lit():
+                def one(args):
+                    p, g, rbf, lbf, of, invf = args
+                    pos_f = dscene.pos.at[0].set(p)
+                    if static_bins is not None:
+                        be, cnt = static_bins.merge(pos_f[:1],
+                                                    dscene.ext[:1])
+                    else:
+                        from ..ops import binning
+
+                        be, cnt = binning.build_bins(pos_f, dscene.ext, cfg,
+                                                     r.spans)
+                    return trace_light_dynamic(pos_f, dscene.ext, be, cnt,
+                                               rbf, lbf, g, of, invf, cfg)
+
+                return jax.lax.map(
+                    one, (players, gbuf.entity_index, rb_g, lb, origin,
+                          inv))
+
+            lit = jax.lax.cond(ok, fast_lit, slow_lit)
+        else:
+            lit = fast_lit()
+
+        if upto == "shadow":
+            return lit.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+        return tl, lit
+
+    if upto in ("geom", "cands", "rel", "prep", "shadow"):
+        return light_pass(lights_l[:, 0], upto=upto)
 
     # -- 5. shade -------------------------------------------------------------
-    factor = shade_ops.brightness_factor(gbuf.normal, tl, lit, cfg)
+    if multi:
+        # Additive multi-light (ops.shade.shade_multi semantics): each
+        # light's shadowed diffuse accumulates over a shared ambient base.
+        ambient = f32(cfg.ambient)
+        diffuse = jnp.zeros(gbuf.y.shape, f32)
+        for li in range(L):
+            tl, lit = light_pass(lights_l[:, li])
+            fl = shade_ops.brightness_factor(gbuf.normal, tl, lit, cfg)
+            diffuse = diffuse + jnp.maximum(fl - ambient, 0.0)
+        factor = jnp.minimum(1.0, ambient + diffuse)
+    else:
+        tl, lit = light_pass(lights_l[:, 0])
+        factor = shade_ops.brightness_factor(gbuf.normal, tl, lit, cfg)
     if r.style == "dithered":
         from ..ops.dither import shade_dithered
 

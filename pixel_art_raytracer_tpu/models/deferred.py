@@ -125,6 +125,15 @@ class DeferredRenderer:
         bands = normal_bands(np.asarray(scene.atlas.normal))
         rects = color_rects(np.asarray(scene.atlas.color))
         segs = depth_segments(np.asarray(scene.atlas.depth))
+        tables = self.shadow_tables
+        if tables is None and self.shadow_impl in ("fast", "pallas"):
+            # Content-derived shadow tables: smaller sz range and candidate
+            # capacity than the scene-agnostic defaults (runtime guards keep
+            # the bounds exact either way).
+            from ..ops import shadow_fast
+
+            tables = shadow_fast.derive_tables(
+                self.config, scene, max_steps=self.shadow_max_steps)
 
         def same(a, b):
             if (a is None) != (b is None):
@@ -137,6 +146,7 @@ class DeferredRenderer:
 
         if self._traced and not (spans == self.spans
                                  and segs == self.depth_segments
+                                 and tables == self.shadow_tables
                                  and same(bands, self.normal_bands)
                                  and same(rects, self.color_rects)):
             raise RuntimeError(
@@ -149,22 +159,32 @@ class DeferredRenderer:
         self.color_rects = rects
         self.depth_segments = segs
         self.trace_packed = self._packed_bounds_ok(scene)
+        self.shadow_tables = tables
         return self
 
-    @staticmethod
-    def _packed_bounds_ok(scene: Scene) -> bool:
+    def _packed_bounds_ok(self, scene: Scene) -> bool:
         """Host-side value-range proof for the packed winner resolve
-        (``trace_pallas._trace_kernel`` packed_picks bounds)."""
-        pos = np.asarray(scene.pos).astype(np.int64)
+        (``trace_pallas._trace_kernel`` packed_picks bounds).
+
+        The pz/rowbase bounds are proved for any *binned* entity position,
+        not just the scene's static layout: the frustum cull
+        (alternative.cpp:212-219) bounds a binned entity's coordinates to
+        ``pz in (-ext_z, view_length)`` and ``0 <= rowbase <
+        view_height + bin_size + ext_y + ext_z``, so per-frame dynamic
+        positions (the player, alternative.cpp:643-660) are covered too —
+        a moving entity can never silently corrupt the packed attributes."""
+        cfg = self.config
         ext = np.asarray(scene.ext).astype(np.int64)
-        pz = pos[:, 2]
-        rowbase = pos[:, 1] + ext[:, 1] + pos[:, 2] + ext[:, 2]
+        ey = int(ext[:, 1].max())
+        ez = int(ext[:, 2].max())
+        pz_bound = max(cfg.view_length - 1, ez)
+        rowbase_bound = cfg.view_height + cfg.bin_size + ey + ez
         return bool(
             scene.n_entities < (1 << 18)
             and scene.atlas.color.shape[0] <= 8
             and int(np.asarray(scene.atlas.depth).max()) < 32
-            and np.abs(pz).max() < 16384
-            and np.abs(rowbase).max() < 16384)
+            and pz_bound < 16384
+            and rowbase_bound < 16384)
 
     def spans_for(self, scene: Scene) -> tuple[int, int, int]:
         return binning.entity_span_bound(scene.ext.max(axis=0), self.config)
@@ -229,8 +249,33 @@ class DeferredRenderer:
         frame = self.shade(dscene, gbuf, bins_ent, counts, light)
         return gbuf, frame
 
+    # Pixel count above which single frames reroute through the batched
+    # pipeline (F=1): the per-frame convenience prep (dense membership
+    # bitmaps, per-pixel gathers) collapses at supersampled scales — ~22
+    # s/frame at 4096x4096 vs ~0.1 s through the batched phases.
+    SINGLE_FRAME_BATCHED_PIXELS = 1 << 20
+
+    def _batched_f1_capable(self, dscene: DeviceScene) -> bool:
+        cfg = self.config
+        kernel_ok = cfg.bin_size % 8 == 0 and cfg.view_height % 8 == 0
+        depth_ok = (dscene.depth_d0 is not None
+                    or self.depth_segments is not None)
+        return (self.shadow_impl == "pallas"
+                and self.trace_impl in ("auto", "pallas")
+                and kernel_ok and depth_ok)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _render_batched_f1(self, dscene: DeviceScene, light: jax.Array):
+        from .batched import render_states_batched
+
+        return render_states_batched(self, None, dscene,
+                                     dscene.pos[:1], light[None])[0]
+
     def render(self, dscene: DeviceScene, light) -> jax.Array:
         light = jnp.asarray(light, jnp.int32)
+        if (self.config.n_pixels >= self.SINGLE_FRAME_BATCHED_PIXELS
+                and self._batched_f1_capable(dscene)):
+            return self._render_batched_f1(dscene, light)
         _, frame = self.render_with_gbuffer(dscene, light)
         return frame
 

@@ -40,6 +40,49 @@ def entity_span_bound(ext_max: np.ndarray, config: RenderConfig) -> tuple[int, i
     return (ex // bs + 2, (ey + ez) // bs + 2, ez // bs + 2)
 
 
+def bin_totals_numpy(pos, ext, config: RenderConfig) -> np.ndarray:
+    """Host-side per-bin insertion totals (before the wrap), pure numpy.
+
+    Mirrors the cull + covered-range enumeration of :func:`build_bins`
+    (alternative.cpp:195-269) without touching any JAX backend — static
+    scene analysis (table derivation, sharding envelope checks) must work
+    even when the only initialised backend is a remote TPU.
+    """
+    cfg = config
+    bs = cfg.bin_size
+    vh = cfg.view_height
+    pos = np.asarray(pos, np.int64)
+    ext = np.asarray(ext, np.int64)
+    x0, y0, z0 = pos[:, 0], pos[:, 1], pos[:, 2]
+    x1, y1, z1 = x0 + ext[:, 0], y0 + ext[:, 1], z0 + ext[:, 2]
+    culled = ((x1 < 0) | (x0 >= cfg.view_width)
+              | (y1 < -z1)
+              | (y0 >= vh - z0 + bs)
+              | (z1 < -ext[:, 2] - bs)
+              | (z0 > cfg.view_length + bs))
+    min_xi = np.maximum(0, c_div(x0, bs))
+    min_yi = np.maximum(0, c_div(vh - y1 - z1, bs))
+    min_zi = np.maximum(0, c_div(z0, bs))
+    max_xi = np.minimum(cfg.hash_width, c_div(x1 + bs - 1, bs))
+    max_yi = np.minimum(cfg.hash_height, c_div(vh - y0 - z0 + bs - 1, bs))
+    max_zi = np.minimum(cfg.hash_length, c_div(z1 + bs - 1, bs))
+
+    Ax, Ay, Az = entity_span_bound(np.asarray(ext).max(axis=0), cfg)
+    oa, ob, oc = np.meshgrid(np.arange(Ax), np.arange(Ay), np.arange(Az),
+                             indexing="ij")
+    oa, ob, oc = (o.reshape(-1) for o in (oa, ob, oc))
+    bx = min_xi[:, None] + oa[None, :]
+    by = min_yi[:, None] + ob[None, :]
+    bz = min_zi[:, None] + oc[None, :]
+    valid = (~culled[:, None]
+             & (bx < max_xi[:, None]) & (by < max_yi[:, None])
+             & (bz < max_zi[:, None]))
+    flat = (bx * cfg.hash_height + by) * cfg.hash_length + bz
+    totals = np.zeros(cfg.hash_volume, np.int64)
+    np.add.at(totals, flat[valid], 1)
+    return totals
+
+
 def build_bins(pos: jax.Array, ext: jax.Array, config: RenderConfig,
                spans: tuple[int, int, int]):
     """Rebuild the hash grid.  jit-friendly; ``config`` and ``spans`` static.

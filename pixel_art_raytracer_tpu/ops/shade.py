@@ -186,8 +186,7 @@ def lighting_factor(pos, ext, gbuf, bins_ent, counts, light,
                 return lit_pad[:, :W] > 0
             bitmap = shadow_fast.pixel_bitmap(member, rbx, rby, rbz, cfg,
                                               tables)
-            return shadow_fast.trace_light_fast(None, bitmap,
-                                                gbuf.entity_index,
+            return shadow_fast.trace_light_fast(bitmap, gbuf.entity_index,
                                                 origin, inv, cands, cfg)
 
         if guard == "fallback":

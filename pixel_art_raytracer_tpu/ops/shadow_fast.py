@@ -37,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import RenderConfig
 from .cstyle import c_min, c_max, exact_f32_div
@@ -52,12 +53,90 @@ class ShadowTables(NamedTuple):
     max_block_candidates: int = 1024  # per-row-block pruned list capacity
 
 
-def default_tables(config: RenderConfig, scene_ext=None, atlas=None,
+def default_tables(config: RenderConfig,
                    max_steps: int = 16, max_candidates: int = 2048,
                    max_block_candidates: int = 1024) -> ShadowTables:
-    """Choose static table bounds.  With scene/atlas given, the z range is
-    derived from actual content (wz = z0 + sprite depth)."""
+    """Scene-agnostic static table bounds: the start-bin z range covers the
+    whole hash grid plus a 2-bin apron.  Use :func:`derive_tables` when the
+    scene is known — content-derived bounds shrink every membership table
+    and the kernel's per-block sz loop (the runtime guards keep either
+    choice exact)."""
     sz_lo, sz_hi = -2, config.hash_length + 2
+    return ShadowTables(sz_lo=sz_lo, sz_hi=sz_hi, max_steps=max_steps,
+                        max_candidates=max_candidates,
+                        max_block_candidates=max_block_candidates)
+
+
+def derive_tables(config: RenderConfig, scene, atlas=None,
+                  n_dynamic: int = 1, max_steps: int = 16,
+                  max_candidates: int | None = None,
+                  max_block_candidates: int = 1024) -> ShadowTables:
+    """Content-derived static table bounds for a known scene.
+
+    The start-bin z index of a surface pixel is ``trunc(wz / bin_size)``
+    with ``wz = winner_pos_z + sprite_depth`` (the oblique reconstruction,
+    alternative.cpp:349-363), and winners are always *binned* entities —
+    the frustum cull (alternative.cpp:212-219) bounds their z position to
+    ``(-ext_z, view_length)``.  So the sz table range follows from the
+    scene's actual z content plus its sprites' depth maxima; background
+    pixels contribute the fixed start ``sz == 0`` (quirk Q6).
+
+    The leading ``n_dynamic`` entities (the reference's player is entity 0,
+    alternative.cpp:643-660) are assumed movable anywhere in the frustum,
+    so they contribute the full frustum-reachable range — a scripted player
+    never trips the runtime sz guard.  Static entities use their actual
+    positions.  The guard still backstops hostile scenes: a start outside
+    the derived range reroutes the frame to the exact dynamic march.
+
+    ``max_candidates`` (None = derive): the candidate compaction capacity
+    only needs to hold every live (bin, slot) entry — at most the
+    wrap-visible occupancy sum over all bins (quirk Q3 caps each bin at
+    ``capacity - 1`` *visible* entries).  Derived from a host-side static
+    binning count plus a margin for the dynamics' covered bins, rounded to
+    the kernel's 128-lane blocking.
+    """
+    import math
+
+    cfg = config
+    bs = cfg.bin_size
+    if atlas is None:
+        atlas = scene.atlas
+    pos = np.asarray(scene.pos)
+    ext = np.asarray(scene.ext)
+    depth = np.asarray(atlas.depth)
+    sid = np.asarray(scene.sprite_id)
+    dmax_sprite = depth.reshape(depth.shape[0], -1).max(axis=1)
+
+    # Binnable static entities: z0 in (-ext_z, view_length) — others are
+    # frustum-culled every frame and can never become winners.
+    z0 = pos[:, 2]
+    binnable = (z0 + ext[:, 2] > 0) & (z0 < cfg.view_length)
+    binnable[:n_dynamic] = False
+    wz_vals = [0]                                   # background start
+    if binnable.any():
+        wz_vals.append(int(z0[binnable].min()))
+        wz_vals.append(int((z0[binnable] + dmax_sprite[sid[binnable]]).max()))
+    if n_dynamic > 0:
+        # Dynamics: full frustum-reachable z range for their extents/depths.
+        dez = int(ext[:n_dynamic, 2].max())
+        ddep = int(dmax_sprite[sid[:n_dynamic]].max())
+        wz_vals.append(1 - dez)
+        wz_vals.append(cfg.view_length - 1 + ddep)
+    sz_lo = min(math.trunc(v / bs) for v in wz_vals)
+    sz_hi = max(math.trunc(v / bs) for v in wz_vals) + 1
+
+    if max_candidates is None:
+        from . import binning
+
+        totals = binning.bin_totals_numpy(pos, ext, cfg)
+        live = int((totals & (cfg.bin_capacity - 1)).sum())
+        # Dynamics can re-cover bins and flip wrap-visible counts by up to
+        # capacity-1 in each bin they touch.
+        spans = binning.entity_span_bound(ext.max(axis=0), cfg)
+        margin = n_dynamic * spans[0] * spans[1] * spans[2] * (
+            cfg.bin_capacity - 1)
+        max_candidates = max(128, -(-(live + margin) // 128) * 128)
+
     return ShadowTables(sz_lo=sz_lo, sz_hi=sz_hi, max_steps=max_steps,
                         max_candidates=max_candidates,
                         max_block_candidates=max_block_candidates)
@@ -260,12 +339,11 @@ def build_candidates(pos, ext, bins_ent, counts, member,
                       overflow=overflow)
 
 
-def trace_light_fast(start_index, bitmap_words, start_ent, origin, inv_dir,
+def trace_light_fast(bitmap_words, start_ent, origin, inv_dir,
                      cands: Candidates, config: RenderConfig) -> jax.Array:
     """OR-scan over candidates; True where the light is reachable.
 
     Args:
-      start_index: unused here (bitmap already gathered); kept for clarity.
       bitmap_words: (H, W, n_words) uint32 per-pixel membership bitmap.
       start_ent, origin, inv_dir: as in ops.shadow.trace_light.
     """

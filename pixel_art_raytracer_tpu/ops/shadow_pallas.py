@@ -133,7 +133,7 @@ def used_block_relevance(member, szidx, bg, config: RenderConfig,
 def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
                              config: RenderConfig, tables: ShadowTables,
                              rows_per_block: int, row0=0,
-                             lane_groups: int = 1):
+                             lane_groups: int = 1, needs=None):
     """Per-(row-block, lane-tile) candidate relevance straight from packed
     membership words — no dense (starts, V) bitmap unpack.
 
@@ -142,6 +142,15 @@ def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
     start-presence fold ORs whole uint32 words, and the per-candidate bit
     rides a one-hot matmul over the word axis (HIGHEST precision — the
     16-bit halves would truncate in the TPU's default bf16 pass).
+
+    ``needs`` ((h, w_pad) int32/bool, optional): restrict start presence to
+    pixels whose shading actually depends on the shadow result.  A pixel
+    with Lambert ``dot <= 0`` shades to the ambient factor whether lit or
+    not (alternative.cpp:744-758: ``min(1, max(0, dot) + ambient)`` equals
+    ``ambient`` when ``dot <= 0``), so its start bin need not keep any
+    candidate alive — dropping it cannot change any output pixel.
+    Background pixels carry zero normals (quirk Q6), so a dot-based mask
+    subsumes the background row too.
 
     Returns relc (NB, G, M) bool.
     """
@@ -160,6 +169,7 @@ def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
 
     sz = szidx[:, :W]
     isbg = (bg[:, :W] > 0)
+    active = jnp.ones_like(isbg) if needs is None else (needs[:, :W] > 0)
 
     lanes = np.arange(W)
     lane_sx = np.minimum(lanes // cfg.bin_size, SX - 1)
@@ -170,12 +180,12 @@ def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
     # Start presence per (block, tile): 0/1 contractions are exact at
     # default precision (f32 accumulation via preferred_element_type).
     oh = ((sz[..., None] == jnp.arange(SZ, dtype=jnp.int32))
-          & ~isbg[..., None]).astype(f32)                     # (h, W, SZ)
+          & (~isbg & active)[..., None]).astype(f32)          # (h, W, SZ)
     pres = jnp.einsum("hws,wgx->hgxs", oh, lane_ind,
                       preferred_element_type=f32)
     pres = (pres.reshape(NB, R, G, SX, SZ).sum(axis=1) > 0)   # (NB,G,SX,SZ)
-    presbg = jnp.einsum("hw,wgx->hgx", isbg.astype(f32), lane_ind,
-                        preferred_element_type=f32)
+    presbg = jnp.einsum("hw,wgx->hgx", (isbg & active).astype(f32),
+                        lane_ind, preferred_element_type=f32)
     presbg = (presbg.reshape(NB, R, G, SX).sum(axis=1) > 0)   # (NB, G, SX)
 
     from .cstyle import c_div
@@ -473,6 +483,10 @@ def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
     n_words = t_bg.shape[1]
     Mq = cbin.shape[1]
     M = Mq * 128
+    # The t_row index map (block // bpr) selects each block's bin-row
+    # membership table; a non-dividing R would silently pick wrong rows.
+    assert cfg.bin_size % R == 0 and H % R == 0, \
+        "rows_per_block must divide both bin_size and the row count"
     bpr = cfg.bin_size // R            # row blocks per bin row
     assert w_pad % (G * 128) == 0, "lane groups must be 128-lane multiples"
 
@@ -533,16 +547,22 @@ def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
 
 
 def block_sz_ranges(szidx, bg, view_width: int, rows_per_block: int,
-                    n_sz: int) -> jax.Array:
+                    n_sz: int, needs=None) -> jax.Array:
     """Per-row-block [lo, hi) bounds of the non-background pixels' sz
     table rows — the kernel's bitmap build loops only this range (a block
     spans ~3-4 of the ~18 rows).  Returns (NB*2,) i32 interleaved
     [lo0, hi0, lo1, hi1, ...]; all-background blocks get an empty range.
+
+    ``needs`` (optional, like ``tile_candidate_relevance``): restrict the
+    bounds to pixels whose output depends on the shadow result — excluded
+    pixels keep a zero bitmap, which cannot change any visible pixel.
     """
     H = szidx.shape[0]
     NB = H // rows_per_block
     s = szidx[:, :view_width].reshape(NB, -1)
     m = bg[:, :view_width].reshape(NB, -1) == 0
+    if needs is not None:
+        m = m & (needs[:, :view_width].reshape(NB, -1) > 0)
     lo = jnp.min(jnp.where(m, s, n_sz), axis=1)
     hi = jnp.max(jnp.where(m, s + 1, 0), axis=1)
     return jnp.stack([lo, hi], axis=1).reshape(-1).astype(jnp.int32)

@@ -308,10 +308,10 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
     use the unpacked kernel."""
     if packed_picks:
         (key_ref, a_ref, b_ref, c_ref,
-         mkey_scr, empty_scr, keys_scr, sdeps_scr) = refs
+         mkey_scr, empty_scr, keys_scr) = refs
     else:
         (key_ref, ent_ref, sdep_ref, pz_ref, rb_ref, px_ref, sid_ref,
-         mkey_scr, empty_scr, keys_scr, sdeps_scr) = refs
+         mkey_scr, empty_scr, keys_scr) = refs
     cfg = config
     HL = cfg.hash_length
     # Structured layouts carry n_cands = HL * cap rows (cap may be a
@@ -360,32 +360,39 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
     lane_ok = (valid > 0) & (lane_i >= f0) & (lane_i < f1)
     tie = nc2 - 1 - cand_i
 
+    def cand_sdep(jr):
+        """Per-candidate sprite-depth term for screen row j0+jr."""
+        world_j = H - (j0 + jr)
+        row = f3 - world_j
+        if segments is None:
+            return jnp.maximum(0, f6 - f7 * row)
+        # Piecewise-ramp depth: select chain over (sprite, row-range)
+        # segments — no gather (alternative.cpp:336-341's depth fetch).
+        sdep = jnp.zeros_like(row)
+        for (s, r0, r1, d0k, slopek) in segments:
+            inseg = (fsid == s) & (row >= r0) & (row < r1)
+            sdep = jnp.where(inseg, d0k - slopek * (row - r0), sdep)
+        return sdep
+
     def cand_keys(jr):
         """Per-candidate keys (and sdep) for screen row j0+jr."""
         world_j = H - (j0 + jr)
         row = f3 - world_j
         hit = lane_ok & (world_j > f2) & (world_j <= f3)
-        if segments is None:
-            sdep = jnp.maximum(0, f6 - f7 * row)
-        else:
-            # Piecewise-ramp depth: select chain over (sprite, row-range)
-            # segments — no gather (alternative.cpp:336-341's depth fetch).
-            sdep = jnp.zeros_like(row)
-            for (s, r0, r1, d0k, slopek) in segments:
-                inseg = (fsid == s) & (row >= r0) & (row < r1)
-                sdep = jnp.where(inseg, d0k - slopek * (row - r0), sdep)
+        sdep = cand_sdep(jr)
         depth = f4 + jnp.minimum(0, f5 - row) - sdep
         key = jnp.where(hit, depth * nc2 + tie, jnp.int32(KEY_MIN))
         return key, sdep
 
-    # Phase 1: per-row candidate keys -> per-(bin, jr) maxima.  Keys (and
-    # the sprite-depth term) are stashed in VMEM scratch so the winner
-    # resolve (phase 3) reads them back instead of recomputing — ~40% of
-    # the kernel's vector work.
+    # Phase 1: per-row candidate keys -> per-(bin, jr) maxima.  Keys are
+    # stashed in VMEM scratch so the winner resolve (phase 3) reads them
+    # back instead of recomputing (~40% of the kernel's vector work); the
+    # sprite-depth term is recomputed there instead (2 vector ops for ramp
+    # atlases) — halving the stash is what lets whole-bin-row blocks
+    # (rows_per_block=40) fit VMEM.
     for jr in range(R):
         key, sdep = cand_keys(jr)
         keys_scr[jr * n_cands:(jr + 1) * n_cands] = key
-        sdeps_scr[jr * n_cands:(jr + 1) * n_cands] = sdep
         for b in range(HL):
             if compact:
                 mb = jnp.max(jnp.where(fbinz == b, key, jnp.int32(KEY_MIN)),
@@ -421,7 +428,7 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
         base_b = (fpz + 16384) * 32768 + (f3 + 16384)    # row-independent
     for jr in range(R):
         key = keys_scr[jr * n_cands:(jr + 1) * n_cands]
-        sdep = sdeps_scr[jr * n_cands:(jr + 1) * n_cands]
+        sdep = cand_sdep(jr)
         match = key == total[jr:jr + 1, :]      # at most one candidate true
 
         def pick(field):
@@ -517,7 +524,6 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
         scratch_shapes=[
             pltpu.VMEM((cfg.hash_length * R, wt), jnp.int32),
             pltpu.VMEM((cfg.hash_length, wt), jnp.int32),
-            pltpu.VMEM((R * n_cands, wt), jnp.int32),
             pltpu.VMEM((R * n_cands, wt), jnp.int32),
         ],
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RenderConfig
@@ -45,13 +46,53 @@ def make_entity_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices[:n]), (entity_axis,))
 
 
-def render_frame_entity_sharded(renderer, dscene, light, mesh: Mesh
-                                ) -> jax.Array:
+def envelope_ok(pos, ext, config: RenderConfig) -> tuple[bool, str]:
+    """Host-side static check of the exactness envelope (module docstring).
+
+    Sufficient conditions verified:
+      * ``early_exit`` off — per-shard exit counters see only local
+        occupancy, so the culling heuristic (quirk Q5) would diverge from
+        the global scan (alternative.cpp:293-300, 368-374);
+      * no bin's insertion total exceeds the capacity — a wrapped bin's
+        surviving slots depend on *global* insertion ranks (quirk Q3,
+        alternative.cpp:259-264), which per-shard binning cannot see.
+
+    Returns (ok, reason); reason is "" when ok.
+    """
+    if config.early_exit:
+        return False, ("early_exit is on: per-shard exit counters diverge "
+                       "from the reference's global bin scan")
+    totals = binning.bin_totals_numpy(pos, ext, config)
+    if int(totals.max()) > config.bin_capacity:
+        return False, (f"bin overflow (max {int(totals.max())} insertions > "
+                       f"capacity {config.bin_capacity}): wrap-at-capacity "
+                       "slot survival depends on global insertion ranks")
+    return True, ""
+
+
+def render_frame_entity_sharded(renderer, dscene, light, mesh: Mesh,
+                                unchecked: bool = False) -> jax.Array:
     """Render one frame with the scene's entities sharded over ``mesh``.
 
     The entity count must divide by the mesh size (pad the scene with
     culled boxes otherwise).  Returns the (H, W, 3) uint8 frame.
+
+    The exactness envelope (module docstring) is verified host-side before
+    launch: scenes with overflowing bins or early-exit enabled raise —
+    their reference output depends on global insertion-order accidents that
+    per-shard binning cannot reproduce; use the replicated paths
+    (parallel/mesh.py) for those.  ``unchecked=True`` skips the check for
+    callers that accept the documented divergence.
     """
+    if not unchecked:
+        ok, reason = envelope_ok(np.asarray(dscene.pos),
+                                 np.asarray(dscene.ext), renderer.config)
+        if not ok:
+            raise ValueError(
+                "entity-sharded rendering would silently diverge from the "
+                f"reference on this scene: {reason}. Render with the "
+                "replicated frame/row sharding (parallel/mesh.py), or pass "
+                "unchecked=True to accept the divergence.")
     from jax import shard_map
 
     r = renderer

@@ -79,17 +79,24 @@ def ansi_frame(frame: np.ndarray, scale: int = 1) -> str:
     return "\n".join(rows)
 
 
-def decode_keys(raw: str) -> tuple[list[str], bool, str]:
-    """Translate raw stdin bytes into binding keys.
+def decode_events(raw: str
+                  ) -> tuple[list[str], tuple[int, int] | None, bool, str]:
+    """Translate raw stdin bytes into binding keys and mouse motion.
 
-    Returns (keys, quit, rest): ``rest`` is a trailing *incomplete* escape
-    sequence (reads can split sequences mid-byte; the caller buffers it
-    into the next chunk).  'q', or Escape followed by a non-CSI byte,
-    quits — mirroring the reference's SDLK_ESCAPE (alternative.cpp:634-641).
-    A bare trailing Escape stays in ``rest``; the loop promotes it to quit
-    when no continuation bytes arrive by the next cycle.
+    Returns (keys, mouse, quit, rest): ``mouse`` is the LAST reported
+    cursor cell as 0-based (col, row) — from xterm SGR mouse sequences
+    ``ESC [ < b ; x ; y (M|m)`` (any-motion tracking, enabled by the tty
+    hooks) — or None when the chunk carried no mouse event, mirroring the
+    reference's SDL_MOUSEMOTION handling (alternative.cpp:683-685).
+    ``rest`` is a trailing *incomplete* escape sequence (reads can split
+    sequences mid-byte; the caller buffers it into the next chunk).  'q',
+    or Escape followed by a non-CSI byte, quits — mirroring the reference's
+    SDLK_ESCAPE (alternative.cpp:634-641).  A bare trailing Escape stays in
+    ``rest``; the loop promotes it to quit when no continuation bytes
+    arrive by the next cycle.
     """
     keys: list[str] = []
+    mouse: tuple[int, int] | None = None
     i = 0
     quit_ = False
     n = len(raw)
@@ -97,8 +104,24 @@ def decode_keys(raw: str) -> tuple[list[str], bool, str]:
         c = raw[i]
         if c == "\x1b":
             if i + 1 == n:
-                return keys, quit_, "\x1b"      # maybe a split sequence
+                return keys, mouse, quit_, "\x1b"  # maybe a split sequence
             if raw[i + 1] == "[":
+                if raw[i + 2:i + 3] == "<":
+                    # SGR mouse report: ESC [ < b ; x ; y (M|m).
+                    j = i + 3
+                    while j < n and raw[j] not in "Mm":
+                        j += 1
+                    if j == n:
+                        return keys, mouse, quit_, raw[i:]  # split report
+                    parts = raw[i + 3:j].split(";")
+                    if len(parts) == 3:
+                        try:
+                            x, y = int(parts[1]) - 1, int(parts[2]) - 1
+                            mouse = (max(0, x), max(0, y))
+                        except ValueError:
+                            pass
+                    i = j + 1
+                    continue
                 rest = raw[i + 2:i + 5]
                 if rest[:1] in _CSI_KEYS:
                     keys.append(_CSI_KEYS[rest[:1]])
@@ -109,7 +132,7 @@ def decode_keys(raw: str) -> tuple[list[str], bool, str]:
                     i += 4
                     continue
                 if i + 2 >= n or (i + 3 >= n and raw[i + 2] in "56"):
-                    return keys, quit_, raw[i:]  # split mid-CSI
+                    return keys, mouse, quit_, raw[i:]  # split mid-CSI
                 i += 3
                 continue
             quit_ = True
@@ -120,7 +143,13 @@ def decode_keys(raw: str) -> tuple[list[str], bool, str]:
         elif c in _CHAR_KEYS:
             keys.append(_CHAR_KEYS[c])
         i += 1
-    return keys, quit_, ""
+    return keys, mouse, quit_, ""
+
+
+def decode_keys(raw: str) -> tuple[list[str], bool, str]:
+    """Key-only view of :func:`decode_events` (mouse reports dropped)."""
+    keys, _, quit_, rest = decode_events(raw)
+    return keys, quit_, rest
 
 
 class LiveViewer:
@@ -148,22 +177,53 @@ class LiveViewer:
             scale = max(1, config.view_width // 160)
         self.scale = scale
         self.frame_count = 0
+        self.mouse = (0, 0)          # cursor in frame pixels
+        self.mouse_pixel = (0, 0)    # hovered pixel's world (y, z) readout
         self._pending = ""   # split escape-sequence bytes between reads
 
     def render_current(self) -> np.ndarray:
         d = scene_with_player(self.dscene, self.state.player_pos)
         return np.asarray(self.renderer.render(d, self.state.light))
 
+    def _render_with_overlay(self) -> np.ndarray:
+        """Render + the reference's per-frame debug overlay: red Bresenham
+        line from the hovered pixel's reconstructed surface point to the
+        light (alternative.cpp:762-772), and the hovered pixel's world y/z
+        readout (alternative.cpp:698-700) into ``self.mouse_pixel``."""
+        from ..oracle.cpu_renderer import draw_line
+
+        cfg = self.config
+        d = scene_with_player(self.dscene, self.state.player_pos)
+        gbuf, frame = self.renderer.render_with_gbuffer(d, self.state.light)
+        image = np.asarray(frame).copy()
+        mx = min(max(self.mouse[0], 0), cfg.view_width - 1)
+        my = min(max(self.mouse[1], 0), cfg.view_height - 1)
+        # Fetch only the hovered texel (full maps would swamp a remote
+        # tunnel); the device slice transfers two scalars.
+        mp_y = int(np.asarray(gbuf.y[my, mx]))
+        mp_z = int(np.asarray(gbuf.z[my, mx]))
+        self.mouse_pixel = (mp_y, mp_z)
+        light = np.asarray(self.state.light)
+        draw_line(image, mx, cfg.view_height - (mp_y + mp_z),
+                  int(light[0]), cfg.view_height - int(light[1] + light[2]),
+                  (255, 0, 0))
+        return image
+
     def step(self, raw_input_chunk: str) -> tuple[str, bool]:
-        """One loop iteration: apply keys, render, return (blit, quit)."""
-        keys, quit_, rest = decode_keys(self._pending + raw_input_chunk)
+        """One loop iteration: apply events, render, return (blit, quit)."""
+        keys, mouse, quit_, rest = decode_events(
+            self._pending + raw_input_chunk)
         if rest == "\x1b" and raw_input_chunk == "" and self._pending:
             quit_ = True       # a held bare Escape with no continuation
             rest = ""
         self._pending = rest
         if keys:
             self.state = apply_keys(self.state, keys)
-        frame = self.render_current()
+        if mouse is not None:
+            # Terminal cell -> frame pixel: each cell is scale columns wide
+            # and 2*scale rows tall (half-block doubling).
+            self.mouse = (mouse[0] * self.scale, mouse[1] * 2 * self.scale)
+        frame = self._render_with_overlay()
         self.frame_count += 1
         return ansi_frame(frame, self.scale), quit_
 
@@ -184,10 +244,12 @@ class LiveViewer:
                 now = time.perf_counter()
                 ms = (now - last) * 1000.0
                 last = now
+                mp_y, mp_z = self.mouse_pixel
                 output_fn("\x1b[H" + blit +
                           f"\x1b[0m\n{ms:6.1f} ms/frame  "
+                          f"pixel <{mp_y}, {mp_z}>  "
                           "(arrows/PgUp/PgDn: player, akjuho: light, "
-                          "Esc: quit)\n")
+                          "mouse: inspect, Esc: quit)\n")
                 if quit_:
                     break
         finally:
@@ -204,6 +266,10 @@ def _tty_hooks():
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
     tty.setcbreak(fd)
+    # Any-motion mouse tracking in SGR encoding (the live equivalent of the
+    # reference's SDL_MOUSEMOTION stream, alternative.cpp:683-685).
+    sys.stdout.write("\x1b[?1003h\x1b[?1006h")
+    sys.stdout.flush()
 
     def read_pending() -> str:
         # os.read on the raw fd: sys.stdin.read would pull bytes into
@@ -224,6 +290,8 @@ def _tty_hooks():
         sys.stdout.flush()
 
     def restore() -> None:
+        sys.stdout.write("\x1b[?1003l\x1b[?1006l")
+        sys.stdout.flush()
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
 
     return read_pending, write, restore

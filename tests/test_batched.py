@@ -9,6 +9,7 @@ alternative.cpp:628-817.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from pixel_art_raytracer_tpu.config import DEFAULT_CONFIG
 from pixel_art_raytracer_tpu.scene import demo_world, default_light
@@ -52,6 +53,40 @@ class TestBatchedParity:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
 
+    def test_multi_light_batched(self):
+        # (F, L, 3) lights: the batched pipeline runs its shadow phases per
+        # light and accumulates diffuse over the shared ambient base — must
+        # match the per-frame shade_multi extension exactly
+        # (the reference carries a light vector but shades lights[0] only,
+        # alternative.cpp:624-626; this completes the generalisation).
+        scene = demo_world(8)
+        ds = DeviceScene.from_scene(scene)
+        a_bat = make_anim(scene, batched=True)
+        a_scan = make_anim(scene, batched=False)
+        players, lights = sweep(a_bat, scene, 2)
+        lights2 = jnp.stack(
+            [lights, lights[::-1] + jnp.asarray([0, 0, 30], jnp.int32)],
+            axis=1)                                   # (F, 2, 3)
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights2))
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights2))
+        np.testing.assert_array_equal(f_bat, f_scan)
+
+    def test_single_frame_f1_route(self):
+        # DeferredRenderer.render reroutes big frames through the batched
+        # pipeline with F=1 (the per-frame convenience prep collapses at
+        # supersampled scales); the route must be pixel-identical.
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        r = DeferredRenderer(DEFAULT_CONFIG, shadow_impl="pallas",
+                             trace_impl="auto")
+        r.configure_for(scene)
+        la = jnp.asarray(default_light().as_array())
+        assert r._batched_f1_capable(ds)
+        f1 = np.asarray(r._render_batched_f1(ds, la))
+        f0 = np.asarray(r.render_with_gbuffer(ds, la)[1])
+        np.testing.assert_array_equal(f1, f0)
+
+    @pytest.mark.slow
     def test_matches_without_static_bins(self):
         scene = demo_world(6)
         ds = DeviceScene.from_scene(scene)
@@ -76,6 +111,7 @@ class TestBatchedParity:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
 
+    @pytest.mark.slow
     def test_lane_groups_match_whole_width(self):
         # Per-lane-tile candidate pruning (shadow_lane_groups > 1) is an
         # exact optimization: a candidate dropped for a tile has a zero
@@ -90,6 +126,7 @@ class TestBatchedParity:
         f4 = np.asarray(a4.render_states(ds, players, lights))
         np.testing.assert_array_equal(f4, f1)
 
+    @pytest.mark.slow
     def test_slot_cap_reroute_matches(self):
         # A deliberately too-small slot cap must reroute (runtime
         # max(counts) guard) to the full-capacity kernel and still match;
@@ -104,6 +141,7 @@ class TestBatchedParity:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
 
+    @pytest.mark.slow
     def test_dithered_style(self):
         scene = demo_world(6)
         ds = DeviceScene.from_scene(scene)
@@ -141,6 +179,7 @@ class TestMembershipWords:
 
 
 class TestAlternateConfigBatched:
+    @pytest.mark.slow
     def test_batched_matches_scan_on_alt_config(self):
         # Non-default view/bin geometry through the whole batched pipeline
         # (different hash dims, row-block counts, sz table range).
@@ -202,17 +241,26 @@ class TestTraceLaneTiling:
 
 
 class TestPackedPickBounds:
-    def test_out_of_bounds_scene_uses_unpacked_kernel(self):
-        # A scene whose coordinate sums exceed the packed-pick ranges must
-        # gate trace_packed off and still render exactly (unpacked kernel).
+    def test_out_of_bounds_atlas_uses_unpacked_kernel(self):
+        # A sprite depth >= 32 exceeds the packed-pick sdep field, so
+        # trace_packed must gate off and the unpacked kernel still renders
+        # exactly.  (Coordinate bounds are proved over REACHABLE — binned —
+        # positions, so a far-out-of-frustum entity no longer gates: the
+        # cull guarantees it can never become a winner.)
+        import dataclasses as dc
+
+        from pixel_art_raytracer_tpu.assets import SpriteAtlas
         from pixel_art_raytracer_tpu.scene import SceneBuilder
 
         cfg = DEFAULT_CONFIG
-        b = SceneBuilder(config=cfg)
+        base = SceneBuilder(config=cfg).atlas
+        deep = SpriteAtlas(color=base.color,
+                           depth=np.full_like(base.depth, 35),
+                           normal=base.normal)
+        b = SceneBuilder(atlas=deep, config=cfg)
         b.insert((120, 36, 80), (20, 20, 20))
         for i in range(6):
             b.insert((i * 30, 0, 40), (20, 20, 20))
-        b.insert((40, 20, 20000), (20, 20, 20))    # pz beyond 2^14: culled
         scene = b.build()
         ds = DeviceScene.from_scene(scene)
         a_scan = make_anim(scene, batched=False)
@@ -223,11 +271,25 @@ class TestPackedPickBounds:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
 
-    def test_graybox_bounds_fit(self):
-        from pixel_art_raytracer_tpu.scene import graybox_world
+    def test_reachable_bounds_gate(self):
+        from pixel_art_raytracer_tpu.scene import SceneBuilder, graybox_world
         from pixel_art_raytracer_tpu.models.deferred import DeferredRenderer
 
-        assert DeferredRenderer._packed_bounds_ok(graybox_world()) is True
+        r = DeferredRenderer(DEFAULT_CONFIG)
+        assert r._packed_bounds_ok(graybox_world()) is True
+        # A culled far entity does NOT gate packing off (unreachable)...
+        b = SceneBuilder(config=DEFAULT_CONFIG)
+        b.insert((120, 36, 80), (20, 20, 20))
+        b.insert((40, 20, 20000), (20, 20, 20))
+        assert r._packed_bounds_ok(b.build()) is True
+        # ...but a frustum deep enough to REACH pz >= 2^14 does: a dynamic
+        # entity could move there (ADVICE r2: dynamic positions must be
+        # covered by the proof, not just the static layout).
+        import dataclasses as dc
+
+        deep_cfg = dc.replace(DEFAULT_CONFIG, view_length=20000)
+        r2 = DeferredRenderer(deep_cfg)
+        assert r2._packed_bounds_ok(b.build()) is False
 
 
 class TestTileRelevance:
@@ -272,6 +334,7 @@ class TestTileRelevance:
 
 
 class TestTraceCompaction:
+    @pytest.mark.slow
     def test_compact_bound_derived_and_parity(self):
         scene = demo_world(10)
         ds = DeviceScene.from_scene(scene)
@@ -284,6 +347,7 @@ class TestTraceCompaction:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
 
+    @pytest.mark.slow
     def test_overflow_reroutes_to_uncompacted(self):
         # A deliberately too-small bound must reroute (lax.cond) to the
         # uncompacted kernel and still match the scan path exactly.

@@ -40,6 +40,35 @@ class TestFastShadow:
             f_kern = np.asarray(sh_kern(ds, gbuf, be, cnt, la))
             np.testing.assert_array_equal(f_kern, f_scan, err_msg=str(light))
 
+    def test_derived_tables_content_bounds(self):
+        # Content-derived tables: the sz range follows the scene's actual z
+        # content (+ the dynamic player's frustum reach) and the candidate
+        # capacity follows the static bin occupancy — both strictly tighter
+        # than the scene-agnostic defaults on the demo world.
+        from pixel_art_raytracer_tpu.ops import shadow_fast
+
+        scene = demo_world(10)
+        t = shadow_fast.derive_tables(DEFAULT_CONFIG, scene)
+        d = shadow_fast.default_tables(DEFAULT_CONFIG)
+        assert t.sz_lo <= 0 < t.sz_hi
+        assert (t.sz_hi - t.sz_lo) < (d.sz_hi - d.sz_lo)
+        assert t.max_candidates < d.max_candidates
+        assert t.max_candidates % 128 == 0
+
+    def test_derived_tables_pixel_parity(self):
+        # Derived tables must render pixel-identically to the defaults
+        # (the table bounds only size capacity/pruning structures).
+        scene = demo_world(10)
+        rd, ds, be, cnt = setup(scene, shadow_impl="fast")
+        rder = DeferredRenderer(DEFAULT_CONFIG, shadow_impl="fast")
+        rder.configure_for(scene)
+        assert rder.shadow_tables is not None   # auto-derived
+        gbuf = jax.jit(rd.trace)(ds, be, cnt)
+        la = jnp.asarray(default_light().as_array())
+        f_def = np.asarray(jax.jit(rd.shade)(ds, gbuf, be, cnt, la))
+        f_der = np.asarray(jax.jit(rder.shade)(ds, gbuf, be, cnt, la))
+        np.testing.assert_array_equal(f_der, f_def)
+
     def test_no_candidate_overflow_on_demo(self):
         from pixel_art_raytracer_tpu.ops import shadow_fast
 

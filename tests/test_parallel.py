@@ -139,3 +139,46 @@ class TestEntitySharded:
         sharded = np.asarray(render_frame_entity_sharded(r, ds, light, mesh))
         ref = np.asarray(r.render(ds, light))
         np.testing.assert_array_equal(sharded, ref)
+
+    def test_envelope_enforced(self):
+        # Scenes outside the exactness envelope must raise, not silently
+        # diverge: (a) early-exit on (the counter sees only local bins),
+        # (b) a bin overflowing its capacity (wrap slot survival depends on
+        # global insertion ranks, quirk Q3).
+        import dataclasses
+
+        from pixel_art_raytracer_tpu.parallel import (
+            make_entity_mesh, render_frame_entity_sharded)
+        from pixel_art_raytracer_tpu.parallel.entity_sharded import (
+            envelope_ok)
+
+        mesh = make_entity_mesh(8)
+        light = jnp.asarray([60, 60, 20], jnp.int32)
+
+        # (a) early_exit on.
+        b = SceneBuilder(config=SMALL)
+        for k in range(8):
+            b.insert((k * 10, 0, 0), (8, 8, 8))
+        scene = b.build()
+        r = DeferredRenderer(SMALL, shadow_impl="scan", trace_impl="jnp")
+        r.spans = r.spans_for(scene)
+        ds = DeviceScene.from_scene(scene, SMALL)
+        with pytest.raises(ValueError, match="early_exit"):
+            render_frame_entity_sharded(r, ds, light, mesh)
+
+        # (b) bin overflow (9 boxes stacked in one bin, capacity 8).
+        cfg = dataclasses.replace(SMALL, early_exit=False)
+        b = SceneBuilder(config=cfg)
+        for k in range(16):
+            b.insert((4, 4, 4), (8, 8, 8))
+        scene = b.build()
+        ok, reason = envelope_ok(scene.pos, scene.ext, cfg)
+        assert not ok and "overflow" in reason
+        r = DeferredRenderer(cfg, shadow_impl="scan", trace_impl="jnp")
+        r.spans = r.spans_for(scene)
+        ds = DeviceScene.from_scene(scene, cfg)
+        with pytest.raises(ValueError, match="overflow"):
+            render_frame_entity_sharded(r, ds, light, mesh)
+        # unchecked=True runs (divergence accepted explicitly).
+        out = render_frame_entity_sharded(r, ds, light, mesh, unchecked=True)
+        assert out.shape == (cfg.view_height, cfg.view_width, 3)

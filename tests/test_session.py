@@ -105,6 +105,38 @@ class TestLiveViewer:
         # a held partial sequence completed by the next chunk
         assert decode_keys("\x1b" + "[C")[0] == ["right"]
 
+    def test_decode_mouse_events(self):
+        from pixel_art_raytracer_tpu.runtime.viewer import decode_events
+
+        # SGR any-motion report: ESC [ < 35 ; col ; row M (1-based cells).
+        keys, mouse, quit_, rest = decode_events("\x1b[<35;11;6M\x1b[C")
+        assert mouse == (10, 5) and keys == ["right"]
+        assert not quit_ and rest == ""
+        # The LAST motion in a chunk wins (the reference overwrites
+        # mouse_x/mouse_y per event, alternative.cpp:683-685).
+        assert decode_events("\x1b[<35;2;2M\x1b[<35;7;3M")[1] == (6, 2)
+        # A split report is held for the next chunk.
+        keys, mouse, quit_, rest = decode_events("a\x1b[<35;4")
+        assert keys == ["a"] and mouse is None and rest == "\x1b[<35;4"
+        assert decode_events(rest + ";9M")[1] == (3, 8)
+
+    def test_live_mouse_overlay(self):
+        # Mouse motion must move the red cursor-to-light line in the LIVE
+        # loop (the reference draws it every frame, alternative.cpp:762-772)
+        # and update the hovered pixel readout (alternative.cpp:698-700).
+        v = self.make()
+        frames = []
+        v.step("")
+        frames.append(v._render_with_overlay())
+        v.step("\x1b[<35;20;10M")             # move cursor to cell (19, 9)
+        assert v.mouse == (19 * 2, 9 * 4)     # scale=2: x2 cols, x4 rows
+        frames.append(v._render_with_overlay())
+        red0 = (frames[0] == np.array([255, 0, 0], np.uint8)).all(-1)
+        red1 = (frames[1] == np.array([255, 0, 0], np.uint8)).all(-1)
+        assert red0.any() and red1.any()      # line drawn both frames
+        assert (red0 != red1).any()           # ...and it moved
+        assert isinstance(v.mouse_pixel, tuple)
+
     def test_ansi_frame_halfblocks(self):
         from pixel_art_raytracer_tpu.runtime.viewer import ansi_frame
 

@@ -24,8 +24,7 @@ def main() -> None:
     from pixel_art_raytracer_tpu.config import RenderConfig
     from pixel_art_raytracer_tpu.scene import SceneBuilder
     from pixel_art_raytracer_tpu.models.supersample import (
-        SupersampledRenderer, scaled_config)
-    from pixel_art_raytracer_tpu.ops import shadow_fast
+        SupersampledRenderer)
 
     cfg = RenderConfig(view_width=1024, view_height=1024, view_length=320)
     b = SceneBuilder(config=cfg)
@@ -45,11 +44,9 @@ def main() -> None:
 
     F = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
+    # Shadow tables derive from the scaled scene in prepare()/configure_for.
     ss = SupersampledRenderer(
-        cfg, factor=factor, shadow_impl="pallas", trace_impl="auto",
-        shadow_tables=shadow_fast.default_tables(
-            scaled_config(cfg, factor),
-            max_steps=16 * factor, max_candidates=6144))
+        cfg, factor=factor, shadow_impl="pallas", trace_impl="auto")
     ds = ss.prepare(scene)
     light = jnp.asarray([512, 200, 80], jnp.int32)
 

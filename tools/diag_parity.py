@@ -27,7 +27,7 @@ def main():
     light = default_light()
     ds = DeviceScene.from_scene(scene)
     la = jnp.asarray(light.as_array())
-    tables = shadow_fast.default_tables(cfg, max_candidates=1024)
+    tables = shadow_fast.derive_tables(cfg, scene)
 
     rj = DeferredRenderer(cfg, shadow_impl="fast", trace_impl="jnp",
                           shadow_tables=tables)

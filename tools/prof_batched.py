@@ -49,7 +49,7 @@ def main() -> None:
 
     scene = graybox_world()
     light = default_light()
-    tables = shadow_fast.default_tables(cfg, max_candidates=1024)
+    tables = shadow_fast.derive_tables(cfg, scene)
     r = DeferredRenderer(cfg, shadow_impl=args.shadow, trace_impl="auto",
                          shadow_tables=tables)
     r.configure_for(scene)

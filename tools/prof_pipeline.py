@@ -68,7 +68,7 @@ def main() -> None:
     centers = {"center": (light.x, light.y, light.z),
                "edge_x": (20, light.y, light.z),
                "edge_z": (light.x, light.y, 280)}
-    tables = shadow_fast.default_tables(cfg, max_candidates=1024)
+    tables = shadow_fast.derive_tables(cfg, scene)
     r = DeferredRenderer(cfg, shadow_impl="pallas", trace_impl="auto",
                          shadow_tables=tables)
     r.configure_for(scene)

@@ -35,7 +35,7 @@ def main():
 
     scene = graybox_world()
     light = default_light()
-    tables = shadow_fast.default_tables(cfg, max_candidates=1024)
+    tables = shadow_fast.derive_tables(cfg, scene)
     r = DeferredRenderer(cfg, shadow_impl="pallas", trace_impl="auto",
                          shadow_tables=tables)
     r.configure_for(scene)

@@ -33,7 +33,8 @@ def main():
 
     ds = DeviceScene.from_scene(scene)
     la = jnp.asarray(light.as_array())
-    tables = shadow_fast.default_tables(cfg, max_candidates=1024)
+    tables = shadow_fast.derive_tables(cfg, scene)
+    print(f"derived tables: {tables}")
     failures = 0
     for trace_impl, shadow_impl in [("pallas", "pallas"), ("pallas", "fast"),
                                     ("jnp", "fast")]:
@@ -58,6 +59,11 @@ def main():
     r.configure_for(scene)
     cache = StaticBins(scene.pos, scene.ext, 1, cfg, r.spans)
     anim = AnimationRenderer(r, cfg, static_bins=cache)
+    # Guard the comparison's meaning: if a config/renderer change ever makes
+    # the batched path incapable, render_states would silently fall back to
+    # the scan path and this check would become vacuous.
+    assert anim._batched_capable(ds), \
+        "batched pipeline not engaged — parity check would be vacuous"
     players, lights = anim.light_sweep_states(
         2, scene.pos[0], center=(light.x, light.y, light.z), radius=40)
     t0 = time.time()
