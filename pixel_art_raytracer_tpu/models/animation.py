@@ -106,9 +106,14 @@ class AnimationRenderer:
         # doubled scalar-load count gives the gains back.
         self.shadow_lane_groups = 2
         # Trace-kernel screen rows per block (must divide bin_size and the
-        # view height).  Bigger blocks cut grid steps but grow the VMEM
-        # keys stash and the unrolled phase code.
-        self.trace_rows = 8
+        # view height, sublane multiple).  Whole-bin-row blocks read each
+        # bin row's candidate table slice ONCE instead of bin_size/R times
+        # (~1.5 MB per re-read on graybox): R=40 measured 0.864 vs 0.888
+        # ms/frame full-pipeline at F=64.  The keys stash
+        # (R * n_cands * lane_tile * 4 B, 5.2 MB at R=40) must leave room
+        # for the table slices and outputs in the ~16 MB VMEM budget —
+        # _default_trace_rows falls back to 8 when it wouldn't.
+        self.trace_rows = self._default_trace_rows()
         # Trace-kernel column compaction bound (opt-in via
         # enable_trace_compaction()): fewer candidate rows, but the per-bin
         # masked maxima the early-exit bookkeeping then needs measured
@@ -131,6 +136,31 @@ class AnimationRenderer:
             sc = min(cap, smax + static_bins.n_dynamic)
             self.trace_slot_cap = sc if sc < cap else None
         self._render_states_jit = jax.jit(self._render_states)
+
+    def _default_trace_rows(self) -> int:
+        """Largest legal trace-kernel row block that fits VMEM.
+
+        Legal: sublane multiple (8) dividing both the bin size and the
+        view height (trace_keys_pallas asserts the same).  Fit: keys
+        stash + per-bin maxima scratch + double-buffered table slice and
+        outputs within a conservative 12 MB of the ~16 MB VMEM budget
+        (13 table rows bounds every field layout, compact included).
+        """
+        cfg = self.config
+        w_pad = -(-cfg.view_width // 128) * 128
+        wt = min(512, w_pad)
+        n_cands = cfg.hash_length * cfg.bin_capacity
+        best = 8
+        for R in range(8, cfg.bin_size + 1, 8):
+            if cfg.bin_size % R or cfg.view_height % R:
+                continue
+            vmem = 4 * wt * (R * n_cands            # keys stash
+                             + cfg.hash_length * R  # per-bin maxima
+                             + 2 * 13 * n_cands     # table slice (x2)
+                             + 2 * 7 * R)           # outputs (x2)
+            if vmem <= 12 * 2 ** 20:
+                best = R
+        return best
 
     def enable_trace_compaction(self) -> "AnimationRenderer":
         """Derive the column-compaction bound from the static bin cache:

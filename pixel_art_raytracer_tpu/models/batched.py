@@ -109,10 +109,14 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         tab = jax.vmap(
             lambda be, cnt, dp: trace_pallas._expand_tables(
                 dscene.pos, dscene.ext, dscene.sprite_id, d0, slope,
-                be, cnt, cfg, w_pad, dyn_pos=dp)
+                be, cnt, cfg, w_pad, dyn_pos=dp,
+                field_pack=r.trace_field_pack)
         )(bins_ent, counts, dyn_pos)
         if upto == "texp":
-            return tab[:, 9].reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+            # Sum in the table dtype (the _texp_upto profiling cuts return
+            # f32 — a dtype=int32 sum would sneak a whole-array cast into
+            # the measurement), cast only the per-frame scalar.
+            return tab.reshape(F, -1).sum(axis=1).astype(jnp.int32)
         winners = trace_pallas.trace_keys_pallas(
             tab, cfg, segments=segs, rows_per_block=trace_rows,
             packed_picks=r.trace_packed)
@@ -125,7 +129,8 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         cfg, params, r.normal_bands, r.color_rects, r.depth_segments,
         n_compact=ncc, rows_per_block=trace_rows,
         packed_picks=r.trace_packed,
-        slot_cap=None if ncc is not None else trace_slot_cap)
+        slot_cap=None if ncc is not None else trace_slot_cap,
+        field_pack=r.trace_field_pack)
 
     if upto == "trace":
         mix = (gbuf.entity_index + gbuf.y + gbuf.z
@@ -213,7 +218,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             lambda w: shadow_pallas.lane_member_tables(w, cfg, tables, R,
                                                        w_pad)
         )(words)
-        cbin, box, centi = jax.vmap(
+        cword, cmask, box, centi = jax.vmap(
             lambda c: shadow_pallas.candidate_param_tables(c, n_words)
         )(cands)
 
@@ -223,13 +228,14 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             return (blk_counts.reshape(F, -1).sum(axis=1)
                     + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
                     + t_row.reshape(F, -1).sum(axis=1).astype(jnp.int32)
-                    + cbin.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+                    + cword.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+                    + cmask.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
                     + box.reshape(F, -1).sum(axis=1).astype(jnp.int32)
                     + iv_p[0].reshape(F, -1).sum(axis=1).astype(jnp.int32))
 
         def fast_lit():
             lit_pad = shadow_pallas.shadow_call_batched(
-                blk_counts.reshape(F, -1), szr, cbin,
+                blk_counts.reshape(F, -1), szr, cword, cmask,
                 lists.reshape(F, H // R, -1, 128),
                 box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
                 iv_p[0], iv_p[1], iv_p[2], cfg, tables, rows_per_block=R,

@@ -83,6 +83,53 @@ def bin_totals_numpy(pos, ext, config: RenderConfig) -> np.ndarray:
     return totals
 
 
+def unique_entity_word_pairs(pos, ext, config: RenderConfig) -> int:
+    """Host-side count of distinct (entity, membership word) pairs.
+
+    A membership word covers 32 consecutive flat bins (whole z-columns —
+    ``hash_length`` divides 32), and the merged candidate compaction
+    (shadow_fast.Candidates) emits ONE candidate per (entity, word) among
+    the live slots.  Live slots are a subset of all insertions for any
+    wrap phase, so the distinct-pair count over all covered bins is a true
+    upper bound on merged candidates — usually tighter than the
+    wrap-visible slot total when entities span several bins of one word.
+    """
+    cfg = config
+    bs = cfg.bin_size
+    vh = cfg.view_height
+    pos = np.asarray(pos, np.int64)
+    ext = np.asarray(ext, np.int64)
+    x0, y0, z0 = pos[:, 0], pos[:, 1], pos[:, 2]
+    x1, y1, z1 = x0 + ext[:, 0], y0 + ext[:, 1], z0 + ext[:, 2]
+    culled = ((x1 < 0) | (x0 >= cfg.view_width)
+              | (y1 < -z1)
+              | (y0 >= vh - z0 + bs)
+              | (z1 < -ext[:, 2] - bs)
+              | (z0 > cfg.view_length + bs))
+    min_xi = np.maximum(0, c_div(x0, bs))
+    min_yi = np.maximum(0, c_div(vh - y1 - z1, bs))
+    max_xi = np.minimum(cfg.hash_width, c_div(x1 + bs - 1, bs))
+    max_yi = np.minimum(cfg.hash_height, c_div(vh - y0 - z0 + bs - 1, bs))
+    # z never splits words (HL | 32): an entity covering any z of a column
+    # contributes that column's word.  Word id = (bx*HH + by) // 32*... —
+    # enumerate covered (bx, by) pairs and count distinct words.
+    has_z = (np.minimum(cfg.hash_length, c_div(z1 + bs - 1, bs))
+             > np.maximum(0, c_div(z0, bs)))
+    Ax, Ay, _ = entity_span_bound(np.asarray(ext).max(axis=0), cfg)
+    oa, ob = np.meshgrid(np.arange(Ax), np.arange(Ay), indexing="ij")
+    oa, ob = oa.reshape(-1), ob.reshape(-1)
+    bx = min_xi[:, None] + oa[None, :]
+    by = min_yi[:, None] + ob[None, :]
+    valid = (~culled[:, None] & has_z[:, None]
+             & (bx < max_xi[:, None]) & (by < max_yi[:, None]))
+    cols_per_word = 32 // cfg.hash_length
+    word = (bx * cfg.hash_height + by) // cols_per_word
+    n_words = -(-cfg.hash_volume // 32)
+    eidx = np.broadcast_to(np.arange(len(pos))[:, None], word.shape)
+    pair = np.where(valid, eidx * n_words + word, -1)
+    return int(len(np.unique(pair[pair >= 0])))
+
+
 def build_bins(pos: jax.Array, ext: jax.Array, config: RenderConfig,
                spans: tuple[int, int, int]):
     """Rebuild the hash grid.  jit-friendly; ``config`` and ``spans`` static.

@@ -135,7 +135,18 @@ def derive_tables(config: RenderConfig, scene, atlas=None,
         spans = binning.entity_span_bound(ext.max(axis=0), cfg)
         margin = n_dynamic * spans[0] * spans[1] * spans[2] * (
             cfg.bin_capacity - 1)
-        max_candidates = max(128, -(-(live + margin) // 128) * 128)
+        bound = live + margin
+        if 32 % cfg.hash_length == 0:
+            # Merged candidates (one per (entity, word), Candidates
+            # docstring) admit a second bound: distinct (entity, word)
+            # pairs over all covered bins — visible slots are a subset of
+            # insertions for ANY wrap phase, and moving a dynamic only
+            # changes its own covered words.
+            pairs = binning.unique_entity_word_pairs(pos, ext, cfg)
+            wmargin = n_dynamic * spans[0] * (spans[1] // (
+                32 // cfg.hash_length) + 2)
+            bound = min(bound, pairs + wmargin)
+        max_candidates = max(128, -(-bound // 128) * 128)
 
     return ShadowTables(sz_lo=sz_lo, sz_hi=sz_hi, max_steps=max_steps,
                         max_candidates=max_candidates,
@@ -276,14 +287,26 @@ def unpack_member_words(words, config: RenderConfig):
 
 
 class Candidates(NamedTuple):
-    """Compacted live occluder-slot list (static length M)."""
+    """Compacted live occluder list (static length M), merged per
+    (entity, membership word).
+
+    A flat bin id's word is ``bin // 32``; one uint32 word covers 32
+    consecutive flat bins (whole z-columns: hash_length divides 32), so an
+    entity occupying several bins of the same word used to produce several
+    candidates running the *identical* slab test.  Merging keeps one
+    candidate carrying the OR of the occupied bins' bits (``mask``) — the
+    occlusion test ``hit AND (bitmap[word] & mask) != 0`` equals the OR of
+    the per-bin tests exactly (the slab test and self-skip depend only on
+    the entity).  Graybox: 831 live slots -> 660 candidates.
+    """
 
     valid: jax.Array      # (M,) bool
     ent: jax.Array        # (M,) int32 entity index
-    bin: jax.Array        # (M,) int32 flat bin id
+    bin: jax.Array        # (M,) int32 flat bin id (first occurrence)
     pmin: jax.Array       # (M, 3) float32 box min corner
     pmax: jax.Array       # (M, 3) float32 box max corner
     overflow: jax.Array   # () bool — True if capacity was exceeded
+    mask: jax.Array       # (M,) int32 — occupied-bin bits within the word
 
 
 def build_candidates(pos, ext, bins_ent, counts, member,
@@ -305,7 +328,34 @@ def build_candidates(pos, ext, bins_ent, counts, member,
     live = slot < counts[:, None]                       # (V, cap)
     if tested_any is None:
         tested_any = member.any(axis=0)                 # (V,)
-    keep = (live & tested_any[:, None]).reshape(-1)     # (V*cap,)
+
+    # Merge per (entity, word): group the slot space by membership word
+    # (32 consecutive flat bins), detect duplicate entities inside each
+    # group, and build the occupied-bin bit masks.  All pairwise work is
+    # word-local ((n_words, S, S) with S = 32*cap), so it stays tiny.
+    n_words = -(-V // 32)
+    Vp = n_words * 32
+    elig = live & tested_any[:, None]                   # (V, cap)
+    ente = jnp.where(elig, bins_ent, -1)
+    if Vp != V:
+        ente = jnp.pad(ente, ((0, Vp - V), (0, 0)), constant_values=-1)
+    S = 32 * cap
+    g_ent = ente.reshape(n_words, S)
+    gb = ente.reshape(n_words, 32, cap)
+    is_cand = g_ent >= 0
+    # Occupied-bin presence per slot vs its word's 32 bins.
+    occ = ((g_ent[:, :, None, None] == gb[:, None, :, :]).any(axis=3)
+           & is_cand[:, :, None])                       # (nw, S, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    mask_w = (occ.astype(jnp.uint32) * weights[None, None, :]).sum(
+        axis=2, dtype=jnp.uint32)                       # (nw, S)
+    # First occurrence of each (entity, word) in slot order.
+    eqm = ((g_ent[:, :, None] == g_ent[:, None, :])
+           & is_cand[:, :, None] & is_cand[:, None, :])
+    earlier = jnp.tril(jnp.ones((S, S), bool), -1)
+    dup = (eqm & earlier[None]).any(axis=2)             # (nw, S)
+    keep = (is_cand & ~dup).reshape(Vp, cap)[:V].reshape(-1)
+    mask_flat = mask_w.reshape(Vp, cap)[:V].reshape(-1).astype(jnp.int32)
 
     n_keep = keep.sum()
     overflow = n_keep > M
@@ -315,6 +365,7 @@ def build_candidates(pos, ext, bins_ent, counts, member,
     valid = keep[order]
     flat_idx = order
     bin_id = (flat_idx // cap).astype(jnp.int32)
+    mask = jnp.where(valid, mask_flat[flat_idx], 0)
     ent = jnp.where(valid, bins_ent.reshape(-1)[flat_idx], 0)
     pe = pos[ent]
     if dyn_pos is not None:
@@ -333,10 +384,11 @@ def build_candidates(pos, ext, bins_ent, counts, member,
         valid = jnp.pad(valid, (0, pad))
         ent = jnp.pad(ent, (0, pad))
         bin_id = jnp.pad(bin_id, (0, pad))
+        mask = jnp.pad(mask, (0, pad))
         p = jnp.pad(p, ((0, pad), (0, 0)))
         q = jnp.pad(q, ((0, pad), (0, 0)))
     return Candidates(valid=valid, ent=ent, bin=bin_id, pmin=p, pmax=q,
-                      overflow=overflow)
+                      overflow=overflow, mask=mask)
 
 
 def trace_light_fast(bitmap_words, start_ent, origin, inv_dir,
@@ -352,12 +404,11 @@ def trace_light_fast(bitmap_words, start_ent, origin, inv_dir,
     ivx, ivy, ivz = inv_dir
 
     def body(occluded, cand):
-        valid, ent, bin_id, pmin, pmax = cand
+        valid, ent, bin_id, mask, pmin, pmax = cand
         word = bin_id // 32
-        bit = bin_id % 32
         w = jax.lax.dynamic_index_in_dim(bitmap_words, word, axis=2,
                                          keepdims=False)
-        member = ((w >> bit.astype(jnp.uint32)) & 1).astype(bool)
+        member = (w & mask.astype(jnp.uint32)) != 0
         consider = valid & member & (ent != start_ent)
 
         x1 = (pmin[0] - ox) * ivx
@@ -378,7 +429,8 @@ def trace_light_fast(bitmap_words, start_ent, origin, inv_dir,
     occ0 = jnp.zeros(start_ent.shape, bool)
     occluded, _ = jax.lax.scan(
         body, occ0,
-        (cands.valid, cands.ent, cands.bin, cands.pmin, cands.pmax))
+        (cands.valid, cands.ent, cands.bin, cands.mask, cands.pmin,
+         cands.pmax))
     return ~occluded
 
 

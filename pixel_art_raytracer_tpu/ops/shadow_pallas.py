@@ -171,14 +171,17 @@ def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
     isbg = (bg[:, :W] > 0)
     active = jnp.ones_like(isbg) if needs is None else (needs[:, :W] > 0)
 
+    # Start presence per (block, tile) rides one-hot MXU contractions: a
+    # bit-packed uint32 OR-fold was measured SLOWER here (+0.03 ms/frame
+    # at F=64 — lax.reduce bitwise-OR over lane slices lowers to serial
+    # vector folds; 0/1 matmuls ride the MXU and are exact at default
+    # precision with f32 accumulation via preferred_element_type).
     lanes = np.arange(W)
     lane_sx = np.minimum(lanes // cfg.bin_size, SX - 1)
     lane_ind = np.zeros((W, G, SX), np.float32)
     lane_ind[lanes, np.minimum(lanes // tw, G - 1), lane_sx] = 1.0
     lane_ind = jnp.asarray(lane_ind)
 
-    # Start presence per (block, tile): 0/1 contractions are exact at
-    # default precision (f32 accumulation via preferred_element_type).
     oh = ((sz[..., None] == jnp.arange(SZ, dtype=jnp.int32))
           & (~isbg & active)[..., None]).astype(f32)          # (h, W, SZ)
     pres = jnp.einsum("hws,wgx->hgxs", oh, lane_ind,
@@ -207,9 +210,8 @@ def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
         selbg, jnp.uint32(0), jax.lax.bitwise_or, (2,))
 
     # Candidate word select as a one-hot matmul over the word axis, then
-    # the bit test in int32.
+    # the occupied-bin mask test (candidates are merged per (ent, word)).
     wc = cands.bin // 32
-    bc = (cands.bin % 32).astype(jnp.uint32)
     onehot = (wc[:, None] == jnp.arange(nw, dtype=jnp.int32)).astype(f32)
     lo = (rel_words & jnp.uint32(0xffff)).astype(f32).reshape(NB * G, nw)
     hi = (rel_words >> jnp.uint32(16)).astype(f32).reshape(NB * G, nw)
@@ -220,8 +222,8 @@ def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
                                preferred_element_type=f32)
     word_c = (lo_c.astype(jnp.uint32)
               | (hi_c.astype(jnp.uint32) << jnp.uint32(16)))
-    relc = ((word_c.reshape(NB, G, -1) >> bc[None, None])
-            & jnp.uint32(1)) > 0
+    relc = (word_c.reshape(NB, G, -1)
+            & cands.mask.astype(jnp.uint32)[None, None]) != 0
     return relc & cands.valid[None, None]
 
 
@@ -233,7 +235,14 @@ def candidate_lists_from_relevance(cands: Candidates, rel):
     TPU — cumsum is a sequential scan there).  Returns lists shaped like
     ``rel`` with V replaced by M, and counts shaped like ``rel[..., 0]``.
     """
-    relc = cands.valid & rel[..., cands.bin]              # (NB[, G], M)
+    # Merged candidates carry occupied-bin masks: relevant iff ANY of the
+    # candidate's bins is relevant (indexing by the first bin alone would
+    # drop occluders reachable only through another occupied bin).
+    lead = rel.shape[:-1]
+    relw = pack_member_words(rel.reshape(-1, rel.shape[-1]))
+    relw = relw.reshape(lead + (relw.shape[-1],))
+    wsel = relw[..., cands.bin // 32]                     # (NB[, G], M)
+    relc = cands.valid & ((wsel & cands.mask.astype(jnp.uint32)) != 0)
     return candidate_lists_from_relc(relc)
 
 
@@ -309,7 +318,8 @@ def lane_member_tables(member_words, config: RenderConfig,
     return t_row, t_bg
 
 
-def _shadow_kernel(counts_ref, szrange_ref, cbin_ref, lists_ref, box_ref,
+def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
+                   box_ref,
                    centi_ref, trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref,
                    oz_ref, ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref,
                    bitmap_scr,
@@ -380,9 +390,8 @@ def _shadow_kernel(counts_ref, szrange_ref, cbin_ref, lists_ref, box_ref,
         for cc in range(chunk):
             m = c0 + cc
             c = lists_ref[0, 0, 0, m // 128, m % 128]
-            b_c = cbin_ref[0, c // 128, c % 128]   # scalar flat-ish bin id
-            word_c = b_c // 32
-            bit_c = b_c % 32
+            word_c = cword_ref[0, c // 128, c % 128]
+            mask_c = cmask_ref[0, c // 128, c % 128]
             # Scalar loads from the SMEM tables: scalars broadcast freely
             # into the [R, gw] vector math (vector extracts would need a
             # both-dims broadcast, which Mosaic lacks).  Candidate c's box
@@ -399,7 +408,8 @@ def _shadow_kernel(counts_ref, szrange_ref, cbin_ref, lists_ref, box_ref,
             ent_c = centi_ref[0, c // 128, c % 128]
 
             w = bitmap_scr[word_c]
-            member = ((w >> bit_c.astype(jnp.uint32)) & jnp.uint32(1)) > 0
+            # Merged-candidate occupancy test: any occupied bin's bit set.
+            member = (w & mask_c.astype(jnp.uint32)) != jnp.uint32(0)
 
             # Slab test with the reference's std::min/std::max argument
             # order (alternative.cpp:40-83).
@@ -452,7 +462,8 @@ def _shadow_kernel(counts_ref, szrange_ref, cbin_ref, lists_ref, box_ref,
     out_ref[0] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
 
 
-def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
+def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
+                        centi,
                         t_row, t_bg, szidx, bg, start_ent, oy, oz,
                         ivx, ivy, ivz,
                         config: RenderConfig, tables: ShadowTables,
@@ -467,7 +478,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
     candidate lists:
       blk_counts (F, NB*G) i32, blk_szrange (F, NB*2) i32 (per-block
       [sz_lo, sz_hi) bounds of the non-background pixels' table rows),
-      cbin (F, Mq, 128) i32,
+      cword/cmask (F, Mq, 128) i32 (membership word + occupied-bin bits),
       lists (F, NB, G*Mq, 128) i32, box (F, M//16, 128) f32 (packed
       corners), centi (F, Mq, 128) i32,
       t_row (F, n_sy, SZ*nw, w_pad) u32, t_bg (F, nw, w_pad) u32,
@@ -481,7 +492,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
     NB = H // R
     SZ = tables.sz_hi - tables.sz_lo
     n_words = t_bg.shape[1]
-    Mq = cbin.shape[1]
+    Mq = cword.shape[1]
     M = Mq * 128
     # The t_row index map (block // bpr) selects each block's bin-row
     # membership table; a non-dividing R would silently pick wrong rows.
@@ -517,7 +528,9 @@ def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
             pl.BlockSpec((1, 1, NB * 2), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # per-block sz range
             pl.BlockSpec((1, Mq, 128), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # candidate bin ids
+                         memory_space=pltpu.SMEM),    # candidate word ids
+            pl.BlockSpec((1, Mq, 128), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # candidate bin masks
             pl.BlockSpec((1, 1, 1, Mq, 128),
                          lambda f, i, g: (f, i, g, 0, 0),
                          memory_space=pltpu.SMEM),    # pruned index lists
@@ -541,7 +554,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cbin, lists, box, centi,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, H, w_pad), jnp.int32),
         interpret=interpret,
-    )(blk_counts[:, None, :], blk_szrange[:, None, :], cbin,
+    )(blk_counts[:, None, :], blk_szrange[:, None, :], cword, cmask,
       lists.reshape(F, NB, G, Mq, 128), box, centi, t_row, t_bg,
       szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)
 
@@ -571,22 +584,25 @@ def block_sz_ranges(szidx, bg, view_width: int, rows_per_block: int,
 def candidate_param_tables(cands: Candidates, n_words: int):
     """Kernel-layout candidate parameter tables from a Candidates pytree.
 
-    Returns (cbin (Mq, 128) i32, boxp (M//16, 128) f32, cent (Mq, 128) i32)
+    Returns (cword (Mq, 128) i32 membership-word index, cmask (Mq, 128)
+    i32 occupied-bin bits, boxp (M//16, 128) f32, cent (Mq, 128) i32)
     with Mq = M // 128; candidate c's six box corners sit at flat positions
     [c*8, c*8+6) of boxp (8 | 128, so one candidate never straddles a
-    row — the kernel reads them with single-row scalar loads).  All three
-    tables are 128-minor so they ride SMEM without padding blow-up (an
+    row — the kernel reads them with single-row scalar loads).  All tables
+    are 128-minor so they ride SMEM without padding blow-up (an
     (M, 8)-shaped SMEM window allocates lane-padded, 16x the bytes).
-    Invalid or padded candidates point at the always-zero bitmap word and
-    an impossible entity id.  Vmappable over a frame axis.
+    Invalid or padded candidates point at the always-zero bitmap word with
+    a zero mask and an impossible entity id.  Vmappable over a frame axis.
     """
     M = cands.bin.shape[0]
-    cbin = jnp.where(cands.valid, cands.bin, n_words * 32).astype(jnp.int32)
+    cword = jnp.where(cands.valid, cands.bin // 32, n_words)
+    cword = cword.astype(jnp.int32)
+    cmask = jnp.where(cands.valid, cands.mask, 0).astype(jnp.int32)
     box = jnp.zeros((M, 8), jnp.float32)
     box = box.at[:, 0:3].set(cands.pmin).at[:, 3:6].set(cands.pmax)
     cent = jnp.where(cands.valid, cands.ent, -(10 ** 9)).astype(jnp.int32)
-    return (cbin.reshape(M // 128, 128), box.reshape(M // 16, 128),
-            cent.reshape(M // 128, 128))
+    return (cword.reshape(M // 128, 128), cmask.reshape(M // 128, 128),
+            box.reshape(M // 16, 128), cent.reshape(M // 128, 128))
 
 
 def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
@@ -615,12 +631,12 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
 
     M = cands.bin.shape[0]
     assert M % 8 == 0
-    cbin, box, centi = candidate_param_tables(cands, n_words)
+    cword, cmask, box, centi = candidate_param_tables(cands, n_words)
     SZ = tables.sz_hi - tables.sz_lo
     szr = block_sz_ranges(szidx, bg, cfg.view_width, R, SZ)
 
     lit = shadow_call_batched(
-        blk_counts.reshape(-1)[None], szr[None], cbin[None],
+        blk_counts.reshape(-1)[None], szr[None], cword[None], cmask[None],
         lists.reshape(H // R, -1, 128)[None], box[None], centi[None],
         t_row[None], t_bg[None],
         szidx[None], bg[None], start_ent[None],

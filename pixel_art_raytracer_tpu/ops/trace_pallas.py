@@ -156,15 +156,30 @@ def color_rects(color: np.ndarray, max_rects: int = 32):
     return rects
 
 
+# Profiling hook (tools/prof_texp.py): "small" returns the pre-expansion
+# field stack, "mm" the f32 matmul output before the int cast.
+_texp_upto = None
+
+
 def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
                    config: RenderConfig, w_pad: int, dyn_pos=None,
                    n_compact: int | None = None,
-                   slot_cap: int | None = None):
+                   slot_cap: int | None = None,
+                   field_pack: bool = False):
     """Build lane-expanded candidate field tables.
 
     Returns a stacked array ``[n_fields, HH, C*HL, w_pad]`` int32 with field
     order: valid, f0 (posx), f1 (posx+ex), f2 (py+pz), f3 (py+ey+pz+ez),
     f4 (py-pz), f5 (ey), f6 (d0), f7 (slope), ent.
+
+    ``field_pack``: pack the small fields into two rows —
+    ``packa = valid | sid<<1 | d0<<4 | slope<<9 | ey<<11`` (17 bits) and
+    ``packb = (f0+2048) | (f1+2048)<<12`` (24 bits) — shrinking the table
+    to [packa, packb, f2, f3, f4, ent, pz] (7 rows instead of 12): ~45%
+    less table HBM traffic for both the expansion write and the kernel
+    read.  Callers must prove the field ranges host-side
+    (``field_pack_ok``); all packed values stay < 2^24, so the f32 MXU
+    lane expansion remains exact.
 
     ``dyn_pos`` (D, 3) overrides the positions of the leading D (dynamic)
     entities — batched callers vmap over per-frame (bins, dyn_pos) without
@@ -193,11 +208,12 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
     NC = HL * cap                     # candidates per pixel column
 
     # (HH, HL, cap, HW): candidate entity for (biny, binz, slot, binx).
-    flat = ((jnp.arange(HW)[None, :] * HH + jnp.arange(HH)[:, None])
-            * HL)                     # (HH, HW) base
-    flat = flat[:, None, :] + jnp.arange(HL)[None, :, None]   # (HH, HL, HW)
-    ent = bins_ent[flat]                                      # (HH, HL, HW, cap)
-    cnt = counts[flat]                                        # (HH, HL, HW)
+    # The bin tables' flat-index layout is (x*HH + y)*HL + z
+    # (alternative.cpp:180-182), so the reorder is a pure transpose — a
+    # gather by precomputed flat indices lowered ~10x slower on TPU.
+    ent = jnp.transpose(bins_ent.reshape(HW, HH, HL, cap),
+                        (1, 2, 0, 3))                         # (HH, HL, HW, cap)
+    cnt = jnp.transpose(counts.reshape(HW, HH, HL), (1, 2, 0))
     valid = jnp.arange(cap)[None, None, None, :] < cnt[..., None]
 
     ent = jnp.moveaxis(ent, 3, 2)                             # (HH, HL, cap, HW)
@@ -210,20 +226,38 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
             p = jnp.where((ent_s == d)[..., None], dyn_pos[d], p)
     e = ext[ent_s]
     sid = sprite_id[ent_s]
-    fields = [
-        valid.astype(jnp.int32),
-        p[..., 0],
-        p[..., 0] + e[..., 0],
-        p[..., 1] + p[..., 2],
-        p[..., 1] + e[..., 1] + p[..., 2] + e[..., 2],
-        p[..., 1] - p[..., 2],
-        e[..., 1],
-        d0[sid],
-        slope[sid],
-        ent_s,
-        p[..., 2],                                            # posz
-        sid,
-    ]
+    if field_pack:
+        vi = valid.astype(jnp.int32)
+        packa = (vi + (sid << 1) + (d0[sid] << 4) + (slope[sid] << 9)
+                 + (e[..., 1] << 11))
+        packb = ((p[..., 0] + 2048)
+                 + ((p[..., 0] + e[..., 0] + 2048) << 12))
+        # Invalid slots must read as valid=0 through the packed row (the
+        # zero-padded lanes of the selection matmul already do).
+        fields = [
+            jnp.where(valid, packa, 0),
+            packb,
+            p[..., 1] + p[..., 2],
+            p[..., 1] + e[..., 1] + p[..., 2] + e[..., 2],
+            p[..., 1] - p[..., 2],
+            ent_s,
+            p[..., 2],                                        # posz
+        ]
+    else:
+        fields = [
+            valid.astype(jnp.int32),
+            p[..., 0],
+            p[..., 0] + e[..., 0],
+            p[..., 1] + p[..., 2],
+            p[..., 1] + e[..., 1] + p[..., 2] + e[..., 2],
+            p[..., 1] - p[..., 2],
+            e[..., 1],
+            d0[sid],
+            slope[sid],
+            ent_s,
+            p[..., 2],                                        # posz
+            sid,
+        ]
     stacked = jnp.stack(fields)                               # (F, HH, HL, cap, HW)
     F = stacked.shape[0]
     if slot_cap is not None and slot_cap < cap:
@@ -248,7 +282,12 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
         src = jnp.where(valid_p, b_of * cap + s_of, 0)
         stacked = jnp.take_along_axis(
             stacked, jnp.broadcast_to(src[None], (F, HH, NCc, HW)), axis=2)
-        stacked = stacked.at[0].set(valid_p.astype(jnp.int32))
+        if field_pack:
+            # Row 0 is the packed small-field row; gathered entries carry
+            # their own valid bit (live sources), padding clears to 0.
+            stacked = stacked.at[0].set(jnp.where(valid_p, stacked[0], 0))
+        else:
+            stacked = stacked.at[0].set(valid_p.astype(jnp.int32))
         stacked = jnp.concatenate(
             [stacked, jnp.where(valid_p, b_of, 0)[None]], axis=0)
         F = F + 1
@@ -261,7 +300,14 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
         "entity ids must stay f32-exact for the MXU lane expansion"
     sel = lane_select_matrix(cfg, w_pad)
     NCt = stacked.shape[2]
+    if _texp_upto == "small":
+        return stacked
     flat = stacked.reshape(F * HH * NCt, HW).astype(jnp.float32)
+    if _texp_upto == "mm":
+        return jax.lax.dot_general(
+            flat, sel, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
     # precision=HIGHEST is load-bearing: the TPU default lowers f32
     # matmuls to one bf16 pass, silently truncating any field needing
     # more than 8 mantissa bits (entity ids!).  Measured cost: nil (K=12).
@@ -291,7 +337,8 @@ def lane_select_matrix(config: RenderConfig, w_pad: int) -> jax.Array:
 def _trace_kernel(row0_ref, tab_ref, *refs, config,
                   rows_per_block: int, n_cands: int, nc2: int, w_pad: int,
                   segments=None, compact: bool = False,
-                  packed_picks: bool = False):
+                  packed_picks: bool = False,
+                  packed_fields: bool = False):
     """Row-block body.  Blocks carry a leading frame dim of 1: the grid is
     (frames, row_blocks) so one launch traces a whole animation batch
     (frames=1 for single-frame callers).
@@ -327,19 +374,38 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
               + wt0)
     cand_i = jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 0)
 
-    valid = tab_ref[0, 0, 0]
-    f0 = tab_ref[0, 1, 0]
-    f1 = tab_ref[0, 2, 0]
-    f2 = tab_ref[0, 3, 0]
-    f3 = tab_ref[0, 4, 0]
-    f4 = tab_ref[0, 5, 0]
-    f5 = tab_ref[0, 6, 0]
-    f6 = tab_ref[0, 7, 0]
-    f7 = tab_ref[0, 8, 0]
-    fent = tab_ref[0, 9, 0]
-    fpz = tab_ref[0, 10, 0]
-    fsid = tab_ref[0, 11, 0]
-    fbinz = tab_ref[0, 12, 0] if compact else None
+    if packed_fields:
+        # Two packed rows (see _expand_tables field_pack): unpack once per
+        # block — a handful of vector shifts amortised over all phases.
+        pa = tab_ref[0, 0, 0]
+        pb = tab_ref[0, 1, 0]
+        valid = pa & 1
+        fsid = (pa >> 1) & 7
+        f6 = (pa >> 4) & 31
+        f7 = (pa >> 9) & 3
+        f5 = (pa >> 11) & 63
+        f0 = (pb & 4095) - 2048
+        f1 = (pb >> 12) - 2048
+        f2 = tab_ref[0, 2, 0]
+        f3 = tab_ref[0, 3, 0]
+        f4 = tab_ref[0, 4, 0]
+        fent = tab_ref[0, 5, 0]
+        fpz = tab_ref[0, 6, 0]
+        fbinz = tab_ref[0, 7, 0] if compact else None
+    else:
+        valid = tab_ref[0, 0, 0]
+        f0 = tab_ref[0, 1, 0]
+        f1 = tab_ref[0, 2, 0]
+        f2 = tab_ref[0, 3, 0]
+        f3 = tab_ref[0, 4, 0]
+        f4 = tab_ref[0, 5, 0]
+        f5 = tab_ref[0, 6, 0]
+        f6 = tab_ref[0, 7, 0]
+        f7 = tab_ref[0, 8, 0]
+        fent = tab_ref[0, 9, 0]
+        fpz = tab_ref[0, 10, 0]
+        fsid = tab_ref[0, 11, 0]
+        fbinz = tab_ref[0, 12, 0] if compact else None
 
     # Per-bin empty masks (jr-independent): row b holds bin b's emptiness.
     for b in range(HL):
@@ -478,8 +544,11 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     if not batched:
         tables = tables[None]
     F = tables.shape[0]
-    # Column-compacted tables carry the extra bin-z field (13 fields).
-    compact = tables.shape[1] > 12
+    # Field layouts by row count: 12 = unpacked, 13 = unpacked + bin-z
+    # (column compaction), 7 = field-packed, 8 = field-packed + bin-z.
+    n_f = tables.shape[1]
+    packed_fields = n_f <= 8
+    compact = n_f in (13, 8)
     if n_rows is None:
         n_rows = cfg.view_height
     if row0 is None:
@@ -504,7 +573,8 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     kernel = functools.partial(_trace_kernel, config=cfg,
                                rows_per_block=R, n_cands=n_cands, nc2=nc2,
                                w_pad=wt, segments=segments,
-                               compact=compact, packed_picks=packed_picks)
+                               compact=compact, packed_picks=packed_picks,
+                               packed_fields=packed_fields)
     # Interpreter mode on non-TPU backends (CPU tests validate the kernel
     # logic; compiled Mosaic runs on real TPUs).
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
@@ -538,6 +608,29 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     return outs
 
 
+def field_pack_ok(scene, config: RenderConfig) -> bool:
+    """Host-side range proof for ``_expand_tables(field_pack=True)``.
+
+    packa needs sid < 8, 0 <= d0 < 32, 0 <= slope < 4, ey < 64; packb
+    needs biased f0/f1 in [0, 4096) — binned entities have
+    posx in (-ext_x, view_width) (the frustum cull,
+    alternative.cpp:212-219), so view_width + max ext_x <= 2047 suffices
+    for any reachable (incl. per-frame dynamic) position.
+    """
+    ext = np.asarray(scene.ext)
+    ex = int(ext[:, 0].max())
+    ey = int(ext[:, 1].max())
+    if not (scene.atlas.color.shape[0] <= 8 and ey < 64
+            and ex <= 2047 and config.view_width + ex <= 2047):
+        return False
+    params = ramp_depth_params(np.asarray(scene.atlas.depth))
+    if params is None:
+        return True       # segments path: d0/slope rows carry zeros
+    d0, slope = (np.asarray(v) for v in params)
+    return bool((d0 >= 0).all() and (d0 < 32).all()
+                and (slope >= 0).all() and (slope < 4).all())
+
+
 def _resolve_depth_params(atlas_color, depth_params, segments):
     """Normalise the (depth_params, segments) pair: single-ramp params win
     when present (cheaper than the select chain)."""
@@ -558,7 +651,8 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
                         depth_params, bands=None,
                         rects=None, segments=None, row0=None,
                         n_rows: int | None = None,
-                        packed_picks: bool = False) -> GBufferArrays:
+                        packed_picks: bool = False,
+                        field_pack: bool = False) -> GBufferArrays:
     """Drop-in replacement for ops.trace.trace_pixels on atlases whose depth
     maps are ramps or piecewise ramps (any column-constant map).
 
@@ -577,7 +671,7 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
                                                 segments)
     w_pad = -(-cfg.view_width // 128) * 128
     tables = _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent,
-                            counts, cfg, w_pad)
+                            counts, cfg, w_pad, field_pack=field_pack)
     winners = trace_keys_pallas(tables, cfg, segments=segments,
                                 row0=row0, n_rows=n_rows,
                                 packed_picks=packed_picks)
@@ -669,7 +763,8 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                                 n_compact: int | None = None,
                                 rows_per_block: int = 8,
                                 packed_picks: bool = False,
-                                slot_cap: int | None = None) -> GBufferArrays:
+                                slot_cap: int | None = None,
+                                field_pack: bool = False) -> GBufferArrays:
     """Primary visibility for a whole animation batch in ONE kernel launch.
 
     ``bins_ent`` (F, V, cap) / ``counts`` (F, V): per-frame bin tables (from
@@ -692,7 +787,8 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
             tables = jax.vmap(
                 lambda be, cnt, dp: _expand_tables(
                     pos, ext, sprite_id, d0, slope, be, cnt, cfg, w_pad,
-                    dyn_pos=dp, n_compact=ncc, slot_cap=sc)
+                    dyn_pos=dp, n_compact=ncc, slot_cap=sc,
+                    field_pack=field_pack)
             )(bins_ent, counts, dyn_pos)
             return trace_keys_pallas(tables, cfg, segments=segments,
                                      rows_per_block=rows_per_block,

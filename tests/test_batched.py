@@ -271,6 +271,25 @@ class TestPackedPickBounds:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
 
+    def test_field_pack_parity(self):
+        # Packed candidate-field tables (two int32 rows for the small
+        # fields) must trace pixel-identically to the unpacked layout.
+        from pixel_art_raytracer_tpu.ops import trace_pallas
+
+        scene = demo_world(10)
+        assert trace_pallas.field_pack_ok(scene, DEFAULT_CONFIG)
+        ds = DeviceScene.from_scene(scene)
+        la = jnp.asarray(default_light().as_array())
+        rp = DeferredRenderer(DEFAULT_CONFIG, shadow_impl="pallas",
+                              trace_impl="auto").configure_for(scene)
+        ru = DeferredRenderer(DEFAULT_CONFIG, shadow_impl="pallas",
+                              trace_impl="auto").configure_for(scene)
+        ru.trace_field_pack = False
+        assert rp.trace_field_pack
+        f_packed = np.asarray(rp.render_with_gbuffer(ds, la)[1])
+        f_plain = np.asarray(ru.render_with_gbuffer(ds, la)[1])
+        np.testing.assert_array_equal(f_packed, f_plain)
+
     def test_reachable_bounds_gate(self):
         from pixel_art_raytracer_tpu.scene import SceneBuilder, graybox_world
         from pixel_art_raytracer_tpu.models.deferred import DeferredRenderer
@@ -327,7 +346,15 @@ class TestTileRelevance:
         for G in (1, 2, 4):
             rel = sp.used_block_relevance(member, szidx, bg, cfg, tables,
                                           R, lane_groups=G)
-            dense = np.asarray(cands.valid & rel[..., cands.bin])
+            # Mask-aware dense reference: a merged candidate is relevant
+            # iff ANY of its occupied bins is relevant.
+            lead = rel.shape[:-1]
+            relw = sp.pack_member_words(
+                rel.reshape(-1, rel.shape[-1])).reshape(lead + (-1,))
+            wsel = relw[..., cands.bin // 32]
+            dense = np.asarray(cands.valid
+                               & ((wsel & cands.mask.astype(jnp.uint32))
+                                  != 0))
             packed = np.asarray(sp.tile_candidate_relevance(
                 words, szidx, bg, cands, cfg, tables, R, lane_groups=G))
             np.testing.assert_array_equal(packed, dense, err_msg=f"G={G}")

@@ -100,16 +100,19 @@ def upto(stage):
             shadow_pallas.candidate_lists_from_relevance)(cands, rel)
         t_row, t_bg = jax.vmap(lambda w: shadow_pallas.lane_member_tables(
             w, cfg, tables, R, w_pad))(words)
-        cbin, box, centi = jax.vmap(
+        cword, cmask, box, centi = jax.vmap(
             lambda c: shadow_pallas.candidate_param_tables(c, n_words))(cands)
         if stage == "lists":
             return (lists.sum() + blk_counts.sum()
-                    + t_row.astype(jnp.int32).sum() + cbin.sum())
+                    + t_row.astype(jnp.int32).sum() + cword.sum())
         M = cands.bin.shape[1]
         ent_p = jnp.pad(gbuf.entity_index, ((0,0),(0,0),(0,w_pad-W)))
         pw = lambda a: jnp.pad(a, ((0,0),(0,0),(0,w_pad-W)))
+        szr = jax.vmap(lambda sx, bb: shadow_pallas.block_sz_ranges(
+            sx, bb, W, R, SZ))(szidx, bgm)
         lit_pad = shadow_pallas.shadow_call_batched(
-            blk_counts, cbin, lists.reshape(F, -1, M // 128, 128),
+            blk_counts, szr, cword, cmask,
+            lists.reshape(F, -1, M // 128, 128),
             box, centi, t_row, t_bg, szidx, bgm, ent_p,
             pw(origin[1]), pw(origin[2]),
             pw(inv[0]), pw(inv[1]), pw(inv[2]), cfg, tables, rows_per_block=R)

@@ -47,6 +47,8 @@ def main() -> None:
     ap.add_argument("--light", type=str, default="center",
                     choices=["center", "edge_x", "edge_z"])
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--no-field-pack", action="store_true",
+                    help="force the unpacked 12-row trace field tables")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="also time N back-to-back dispatches materialised "
                          "together (does the dispatch floor overlap "
@@ -72,6 +74,8 @@ def main() -> None:
     r = DeferredRenderer(cfg, shadow_impl="pallas", trace_impl="auto",
                          shadow_tables=tables)
     r.configure_for(scene)
+    if args.no_field_pack:
+        r.trace_field_pack = False
     cache = StaticBins(scene.pos, scene.ext, 1, cfg, r.spans)
     anim = AnimationRenderer(r, cfg, static_bins=cache)
     ds = DeviceScene.from_scene(scene, cfg)
