@@ -100,10 +100,10 @@ class AnimationRenderer:
         # per-candidate scalar loads (190 vs 182 Mrays/s on v5e graybox).
         self.shadow_rows = 40
         # Lane tiles per shadow row block, each with its own exact pruned
-        # candidate list (per-corridor pruning, vectorized).  G=2 measured
-        # best on v5e graybox (311 vs 297 Mrays/s at G=1): halved candidate
-        # vector work beats the extra per-tile fixed cost, while G=4's
-        # doubled scalar-load count gives the gains back.
+        # candidate list (per-corridor pruning, vectorized).  G=2 vs G=4
+        # measured EQUAL within noise on v5e graybox (interleaved A/B at
+        # F=64; sequential comparisons drift by up to 0.07 ms/frame with
+        # ambient tunnel load — see CLAUDE.md round-3 notes).
         self.shadow_lane_groups = 2
         # Trace-kernel screen rows per block (must divide bin_size and the
         # view height, sublane multiple).  Whole-bin-row blocks read each

@@ -106,11 +106,14 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     if upto in ("texp", "tkeys"):
         d0, slope, segs = trace_pallas._resolve_depth_params(
             dscene.atlas_color, params, r.depth_segments)
+        ef = trace_pallas.entity_field_table(
+            dscene.pos, dscene.ext, dscene.sprite_id, d0, slope,
+            field_pack=r.trace_field_pack)
         tab = jax.vmap(
             lambda be, cnt, dp: trace_pallas._expand_tables(
                 dscene.pos, dscene.ext, dscene.sprite_id, d0, slope,
                 be, cnt, cfg, w_pad, dyn_pos=dp,
-                field_pack=r.trace_field_pack)
+                field_pack=r.trace_field_pack, ent_fields=ef)
         )(bins_ent, counts, dyn_pos)
         if upto == "texp":
             # Sum in the table dtype (the _texp_upto profiling cuts return
@@ -214,13 +217,30 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
 
         lists, blk_counts = jax.vmap(
             shadow_pallas.candidate_lists_from_relc)(relc)
+        if upto == "lists":
+            return (blk_counts.reshape(F, -1).sum(axis=1)
+                    + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32))
         t_row, t_bg = jax.vmap(
             lambda w: shadow_pallas.lane_member_tables(w, cfg, tables, R,
                                                        w_pad)
         )(words)
-        cword, cmask, box, centi = jax.vmap(
-            lambda c: shadow_pallas.candidate_param_tables(c, n_words)
-        )(cands)
+        if upto == "trow":
+            return (blk_counts.reshape(F, -1).sum(axis=1)
+                    + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+                    + t_row.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                    + t_bg.reshape(F, -1).sum(axis=1).astype(jnp.int32))
+        box_pack = getattr(r, "shadow_box_pack", False)
+        if box_pack:
+            cword, cmask, box, centi = jax.vmap(
+                lambda c: shadow_pallas.candidate_param_tables_packed(
+                    c, n_words)
+            )(cands)
+            cword, cmask, box, centi = (a[:, None, :] for a in
+                                        (cword, cmask, box, centi))
+        else:
+            cword, cmask, box, centi = jax.vmap(
+                lambda c: shadow_pallas.candidate_param_tables(c, n_words)
+            )(cands)
 
         iv_p = tuple(_padw(a, w_pad) for a in inv)
 
@@ -239,7 +259,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                 lists.reshape(F, H // R, -1, 128),
                 box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
                 iv_p[0], iv_p[1], iv_p[2], cfg, tables, rows_per_block=R,
-                lane_groups=G, chunk=shadow_chunk)
+                lane_groups=G, chunk=shadow_chunk, packed_params=box_pack)
             return lit_pad[:, :, :W] > 0
 
         if r.shadow_guard == "fallback":

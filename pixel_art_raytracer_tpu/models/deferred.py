@@ -109,6 +109,9 @@ class DeferredRenderer:
         # two int32 rows instead of seven when the scene's ranges fit
         # (trace_pallas.field_pack_ok) — ~45% less expansion-table traffic.
         self.trace_field_pack = False
+        # Bit-packed shadow candidate param tables (configure_for):
+        # shadow_pallas.box_pack_ok proves the coordinate/entity ranges.
+        self.shadow_box_pack = False
         # Set once the jitted pipeline has traced with this renderer as a
         # static argument; configure_for() refuses to mutate after that
         # (the compile cache would silently keep the stale parameters).
@@ -166,6 +169,12 @@ class DeferredRenderer:
         from ..ops.trace_pallas import field_pack_ok
 
         self.trace_field_pack = field_pack_ok(scene, self.config)
+        # Bit-packed shadow candidate params (5 scalar loads per candidate
+        # visit instead of 10) stay OPT-IN: an interleaved A/B on v5e
+        # graybox measured them neutral-to-slightly-slower (the kernel's
+        # per-visit cost is not SMEM-load bound; the unpack ALU offsets
+        # the saved loads).  Enable with
+        # `r.shadow_box_pack = shadow_pallas.box_pack_ok(scene, cfg)`.
         self.shadow_tables = tables
         return self
 

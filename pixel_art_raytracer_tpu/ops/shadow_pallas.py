@@ -318,6 +318,12 @@ def lane_member_tables(member_words, config: RenderConfig,
     return t_row, t_bg
 
 
+# Timing-only ablation hook (tools/prof_shadow_ablate.py): "noslab" skips
+# the slab test (hit=member), "nomember" skips the bitmap read (member=
+# always true).  WRONG RESULTS — never set outside profiling.
+_ablate = None
+
+
 def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
                    box_ref,
                    centi_ref, trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref,
@@ -325,7 +331,7 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
                    bitmap_scr,
                    *, w_pad: int, rows: int, n_words: int, n_sz: int,
                    lane_groups: int = 1, chunk: int = 8,
-                   saturate: bool = False):
+                   saturate: bool = False, packed_params: bool = False):
     """Row-block body on a (frames, row_blocks) grid — every block carries a
     leading frame dim of 1, so one launch shades a whole animation batch.
     Per-block pruned candidate counts, flat-bin ids, and the pruned index
@@ -342,6 +348,10 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
     R = rows
     G = lane_groups
     gw = w_pad // G
+    if packed_params:
+        # This tile's row within the 8-tile lists band (see the driver's
+        # lists BlockSpec).
+        list_row = (block * G + g) % lists_ref.shape[1]
 
     lane = (jax.lax.broadcasted_iota(jnp.int32, (R, gw), 1) + g * gw)
     ox = lane.astype(jnp.float32)
@@ -389,47 +399,78 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
 
         for cc in range(chunk):
             m = c0 + cc
-            c = lists_ref[0, 0, 0, m // 128, m % 128]
-            word_c = cword_ref[0, c // 128, c % 128]
-            mask_c = cmask_ref[0, c // 128, c % 128]
-            # Scalar loads from the SMEM tables: scalars broadcast freely
-            # into the [R, gw] vector math (vector extracts would need a
-            # both-dims broadcast, which Mosaic lacks).  Candidate c's box
-            # corners live at flat [c*8, c*8+6) of the 128-minor table —
-            # 8 | 128, so one candidate's fields share a row.
-            bq = c // 16
-            br = (c % 16) * 8
-            px = box_ref[0, bq, br]
-            py = box_ref[0, bq, br + 1]
-            pz = box_ref[0, bq, br + 2]
-            qx = box_ref[0, bq, br + 3]
-            qy = box_ref[0, bq, br + 4]
-            qz = box_ref[0, bq, br + 5]
-            ent_c = centi_ref[0, c // 128, c % 128]
+            if packed_params:
+                # Flat-minor SMEM tables + bit-packed params: 5 scalar
+                # loads per candidate (vs 10) with single-op addressing —
+                # the ablation profile shows the kernel is fixed-cost
+                # bound per visit, so scalar-load count is the budget.
+                # wordent = word << 18 | ent; boxa/boxb = 10-bit-field
+                # packed corners + 512 (bounds host-proved by
+                # box_pack_ok; out-of-range scenes use the unpacked
+                # layout).  The lists block holds an 8-tile band; this
+                # tile's row is (block*G + g) % band.
+                c = lists_ref[0, list_row, m]
+                we = cword_ref[0, 0, c]
+                word_c = we >> 18
+                ent_c = we & jnp.int32(0x3ffff)
+                mask_c = cmask_ref[0, 0, c]
+                ba = box_ref[0, 0, c]
+                bb = centi_ref[0, 0, c]
+                px = ((ba & 1023) - 512).astype(jnp.float32)
+                py = (((ba >> 10) & 1023) - 512).astype(jnp.float32)
+                pz = ((ba >> 20) - 512).astype(jnp.float32)
+                qx = ((bb & 1023) - 512).astype(jnp.float32)
+                qy = (((bb >> 10) & 1023) - 512).astype(jnp.float32)
+                qz = ((bb >> 20) - 512).astype(jnp.float32)
+            else:
+                c = lists_ref[0, 0, 0, m // 128, m % 128]
+                word_c = cword_ref[0, c // 128, c % 128]
+                mask_c = cmask_ref[0, c // 128, c % 128]
+                # Scalar loads from the SMEM tables: scalars broadcast
+                # freely into the [R, gw] vector math (vector extracts
+                # would need a both-dims broadcast, which Mosaic lacks).
+                # Candidate c's box corners live at flat [c*8, c*8+6) of
+                # the 128-minor table — 8 | 128, so one candidate's
+                # fields share a row.
+                bq = c // 16
+                br = (c % 16) * 8
+                px = box_ref[0, bq, br]
+                py = box_ref[0, bq, br + 1]
+                pz = box_ref[0, bq, br + 2]
+                qx = box_ref[0, bq, br + 3]
+                qy = box_ref[0, bq, br + 4]
+                qz = box_ref[0, bq, br + 5]
+                ent_c = centi_ref[0, c // 128, c % 128]
 
-            w = bitmap_scr[word_c]
-            # Merged-candidate occupancy test: any occupied bin's bit set.
-            member = (w & mask_c.astype(jnp.uint32)) != jnp.uint32(0)
+            if _ablate == "nomember":
+                member = jnp.ones((R, gw), jnp.bool_)
+            else:
+                w = bitmap_scr[word_c]
+                # Merged-candidate occupancy: any occupied bin's bit set.
+                member = (w & mask_c.astype(jnp.uint32)) != jnp.uint32(0)
 
-            # Slab test with the reference's std::min/std::max argument
-            # order (alternative.cpp:40-83).
-            x1 = (px - ox) * ivx
-            x2 = (qx - ox) * ivx
-            lo = jnp.where(x2 < x1, x2, x1)
-            hi = jnp.where(x1 < x2, x2, x1)
-            y1 = (py - oy) * ivy
-            y2 = (qy - oy) * ivy
-            a = jnp.where(y2 < y1, y2, y1)
-            b = jnp.where(y1 < y2, y2, y1)
-            lo = jnp.where(lo < a, a, lo)
-            hi = jnp.where(b < hi, b, hi)
-            z1 = (pz - oz) * ivz
-            z2 = (qz - oz) * ivz
-            a = jnp.where(z2 < z1, z2, z1)
-            b = jnp.where(z1 < z2, z2, z1)
-            lo = jnp.where(lo < a, a, lo)
-            hi = jnp.where(b < hi, b, hi)
-            hit = hi >= lo
+            if _ablate == "noslab":
+                hit = member
+            else:
+                # Slab test with the reference's std::min/std::max argument
+                # order (alternative.cpp:40-83).
+                x1 = (px - ox) * ivx
+                x2 = (qx - ox) * ivx
+                lo = jnp.where(x2 < x1, x2, x1)
+                hi = jnp.where(x1 < x2, x2, x1)
+                y1 = (py - oy) * ivy
+                y2 = (qy - oy) * ivy
+                a = jnp.where(y2 < y1, y2, y1)
+                b = jnp.where(y1 < y2, y2, y1)
+                lo = jnp.where(lo < a, a, lo)
+                hi = jnp.where(b < hi, b, hi)
+                z1 = (pz - oz) * ivz
+                z2 = (qz - oz) * ivz
+                a = jnp.where(z2 < z1, z2, z1)
+                b = jnp.where(z1 < z2, z2, z1)
+                lo = jnp.where(lo < a, a, lo)
+                hi = jnp.where(b < hi, b, hi)
+                hit = hi >= lo
 
             occ_new = member & hit & (ent != ent_c)
             # int32 accumulator: Mosaic cannot legalize i1 loop carries.
@@ -470,7 +511,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                         rows_per_block: int = 8,
                         lane_groups: int = 1,
                         chunk: int = 8,
-                        saturate: bool = False) -> jax.Array:
+                        saturate: bool = False,
+                        packed_params: bool = False) -> jax.Array:
     """Launch the shadow kernel on a (frames, row_blocks) grid.
 
     Every argument leads with the frame axis F (single-frame callers pass
@@ -484,6 +526,12 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
       t_row (F, n_sy, SZ*nw, w_pad) u32, t_bg (F, nw, w_pad) u32,
       pixel inputs (F, h, w_pad).
     Returns lit (F, h, w_pad) int32 (1 = reachable).
+
+    ``packed_params``: bit-packed flat-minor candidate tables instead
+    (from ``candidate_param_tables_packed``; bounds host-proved by
+    ``box_pack_ok``): cword := wordent (F, 1, M) i32, cmask (F, 1, M)
+    i32, lists (F, NB, G, M) i32, box := boxa (F, 1, M) i32,
+    centi := boxb (F, 1, M) i32.
     """
     cfg = config
     F, H, w_pad = oy.shape
@@ -492,8 +540,12 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     NB = H // R
     SZ = tables.sz_hi - tables.sz_lo
     n_words = t_bg.shape[1]
-    Mq = cword.shape[1]
-    M = Mq * 128
+    if packed_params:
+        M = cword.shape[2]
+        Mq = M // 128
+    else:
+        Mq = cword.shape[1]
+        M = Mq * 128
     # The t_row index map (block // bpr) selects each block's bin-row
     # membership table; a non-dividing R would silently pick wrong rows.
     assert cfg.bin_size % R == 0 and H % R == 0, \
@@ -504,7 +556,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     assert M % chunk == 0, "chunk must divide the candidate capacity"
     kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
                                n_words=n_words, n_sz=SZ, lane_groups=G,
-                               chunk=chunk, saturate=saturate)
+                               chunk=chunk, saturate=saturate,
+                               packed_params=packed_params)
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     gw = w_pad // G
 
@@ -512,21 +565,28 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         return pl.BlockSpec((1, R, gw), lambda f, i, g: (f, i, g),
                             memory_space=pltpu.VMEM)
 
-    # SMEM operands are buffered per grid step: whole tables must not ride
-    # scalar prefetch (F x their size would blow the budget), but *blocked*
-    # SMEM specs only buffer their few-KB block — counts, bin ids, and the
-    # per-tile pruned candidate list use that.  Box/entity parameter
-    # tables live in VMEM (scalar loads).  Lane groups ride the third grid
-    # axis: every pixel operand is lane-blocked to the tile.
-    grid_spec = pl.GridSpec(
-        grid=(F, NB, G),
-        in_specs=[
-            # The unit middle axis keeps the SMEM block's trailing dims
-            # equal to the array's (the TPU lowering requires it).
-            pl.BlockSpec((1, 1, NB * G), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # per-(block,g) counts
-            pl.BlockSpec((1, 1, NB * 2), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # per-block sz range
+    if packed_params:
+        # The lists block rides an 8-row band of the (F, NB*G, M) table:
+        # a (1, 1, M) block would violate the TPU lowering rule (the
+        # second-minor block dim must be 8-divisible or equal the array
+        # dim); the kernel indexes its tile's row with (i*G + g) % 8.
+        lb = 8 if (NB * G) % 8 == 0 else NB * G
+        param_specs = [
+            pl.BlockSpec((1, 1, M), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # wordent
+            pl.BlockSpec((1, 1, M), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # candidate bin masks
+            pl.BlockSpec((1, lb, M),
+                         lambda f, i, g: (f, (i * G + g) // lb, 0),
+                         memory_space=pltpu.SMEM),    # pruned index lists
+            pl.BlockSpec((1, 1, M), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # boxa
+            pl.BlockSpec((1, 1, M), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # boxb
+        ]
+        param_ops = (cword, cmask, lists.reshape(F, NB * G, M), box, centi)
+    else:
+        param_specs = [
             pl.BlockSpec((1, Mq, 128), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # candidate word ids
             pl.BlockSpec((1, Mq, 128), lambda f, i, g: (f, 0, 0),
@@ -538,6 +598,25 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                          memory_space=pltpu.SMEM),    # box corners (packed)
             pl.BlockSpec((1, Mq, 128), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # candidate entity ids
+        ]
+        param_ops = (cword, cmask, lists.reshape(F, NB, G, Mq, 128), box,
+                     centi)
+
+    # SMEM operands are buffered per grid step: whole tables must not ride
+    # scalar prefetch (F x their size would blow the budget), but *blocked*
+    # SMEM specs only buffer their few-KB block — counts, bin ids, and the
+    # per-tile pruned candidate list use that.  Lane groups ride the third
+    # grid axis: every pixel operand is lane-blocked to the tile.
+    grid_spec = pl.GridSpec(
+        grid=(F, NB, G),
+        in_specs=[
+            # The unit middle axis keeps the SMEM block's trailing dims
+            # equal to the array's (the TPU lowering requires it).
+            pl.BlockSpec((1, 1, NB * G), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # per-(block,g) counts
+            pl.BlockSpec((1, 1, NB * 2), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # per-block sz range
+            *param_specs,
             pl.BlockSpec((1, 1, SZ * n_words, gw),
                          lambda f, i, g: (f, i // bpr, 0, g),
                          memory_space=pltpu.VMEM),    # t_row (per bin row)
@@ -554,9 +633,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, H, w_pad), jnp.int32),
         interpret=interpret,
-    )(blk_counts[:, None, :], blk_szrange[:, None, :], cword, cmask,
-      lists.reshape(F, NB, G, Mq, 128), box, centi, t_row, t_bg,
-      szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)
+    )(blk_counts[:, None, :], blk_szrange[:, None, :], *param_ops,
+      t_row, t_bg, szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)
 
 
 def block_sz_ranges(szidx, bg, view_width: int, rows_per_block: int,
@@ -603,6 +681,59 @@ def candidate_param_tables(cands: Candidates, n_words: int):
     cent = jnp.where(cands.valid, cands.ent, -(10 ** 9)).astype(jnp.int32)
     return (cword.reshape(M // 128, 128), cmask.reshape(M // 128, 128),
             box.reshape(M // 16, 128), cent.reshape(M // 128, 128))
+
+
+def candidate_param_tables_packed(cands: Candidates, n_words: int):
+    """Bit-packed flat-minor candidate parameter tables.
+
+    Returns (wordent, cmask, boxa, boxb), each (M,) int32:
+      wordent = word << 18 | ent  (invalid candidates point at the
+                always-zero bitmap word ``n_words`` with mask 0 — their
+                entity bits are irrelevant because member is 0);
+      boxa/boxb = 10-bit packed (x|y<<10|z<<20) box corners, biased +512.
+    Callers must prove the value ranges host-side (``box_pack_ok``:
+    ent < 2^18, all corner coords in [-512, 511]); scenes outside them
+    use :func:`candidate_param_tables`.  The flat layout keeps the
+    kernel's per-candidate SMEM loads at 5 (vs 10) with single-op
+    addressing — the kernel is fixed-cost bound per candidate visit.
+    Vmappable over a frame axis.
+    """
+    word = jnp.where(cands.valid, cands.bin // 32, n_words)
+    we = ((word << 18) | jnp.where(cands.valid, cands.ent, 0))
+    cmask = jnp.where(cands.valid, cands.mask, 0).astype(jnp.int32)
+    p = cands.pmin.astype(jnp.int32) + 512
+    q = cands.pmax.astype(jnp.int32) + 512
+    boxa = p[:, 0] | (p[:, 1] << 10) | (p[:, 2] << 20)
+    boxb = q[:, 0] | (q[:, 1] << 10) | (q[:, 2] << 20)
+    return (we.astype(jnp.int32), cmask, boxa.astype(jnp.int32),
+            boxb.astype(jnp.int32))
+
+
+def box_pack_ok(scene, config: RenderConfig) -> bool:
+    """Host-side range proof for ``candidate_param_tables_packed``.
+
+    Candidates are binned entities, so their coordinates obey the
+    binner's frustum-cull inequalities (ops/binning.py, mirroring
+    alternative.cpp:212-219):
+      px in (-ex, view_width),           qx < view_width + ex
+      pz in [-2*ez - bin_size, view_length + bin_size],
+                                         qz <= view_length + bin_size + ez
+      py >= -ey - ez - view_length - bin_size   (from y1 >= -z1)
+      qy <  view_height + 2*bin_size + 2*ez + ey (from y0 < vh - z0 + bs)
+    with per-scene maximum extents — covering per-frame dynamic positions
+    too (a moved entity outside the frustum is culled, never a candidate).
+    Also requires ent < 2^18 for the wordent pack.
+    """
+    cfg = config
+    ext = np.asarray(scene.ext).astype(np.int64)
+    ex = int(ext[:, 0].max())
+    ey = int(ext[:, 1].max())
+    ez = int(ext[:, 2].max())
+    bs = cfg.bin_size
+    lo = min(-ex, -2 * ez - bs, -ey - ez - cfg.view_length - bs)
+    hi = max(cfg.view_width + ex, cfg.view_length + bs + ez,
+             cfg.view_height + 2 * bs + 2 * ez + ey)
+    return bool(scene.n_entities < (1 << 18) and lo >= -512 and hi <= 511)
 
 
 def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,

@@ -161,11 +161,68 @@ def color_rects(color: np.ndarray, max_rects: int = 32):
 _texp_upto = None
 
 
+def _candidate_fields(p, e, sid, ent_ids, d0, slope, field_pack: bool):
+    """Candidate field values for entities at positions ``p`` (..., 3).
+
+    Returns the _expand_tables field list WITHOUT the valid masking: row 0
+    carries the valid bit SET (packa with vi=1, or all-ones unpacked) —
+    callers mask it with the per-slot valid bits afterwards.  Shared by
+    the static per-entity table build and the per-frame dynamic-entity
+    override so the two stay formula-identical.
+    """
+    one = jnp.ones_like(ent_ids)
+    if field_pack:
+        packa = (one + (sid << 1) + (d0[sid] << 4) + (slope[sid] << 9)
+                 + (e[..., 1] << 11))
+        packb = ((p[..., 0] + 2048)
+                 + ((p[..., 0] + e[..., 0] + 2048) << 12))
+        return [
+            packa,
+            packb,
+            p[..., 1] + p[..., 2],
+            p[..., 1] + e[..., 1] + p[..., 2] + e[..., 2],
+            p[..., 1] - p[..., 2],
+            ent_ids,
+            p[..., 2],                                        # posz
+        ]
+    return [
+        one,
+        p[..., 0],
+        p[..., 0] + e[..., 0],
+        p[..., 1] + p[..., 2],
+        p[..., 1] + e[..., 1] + p[..., 2] + e[..., 2],
+        p[..., 1] - p[..., 2],
+        e[..., 1],
+        d0[sid],
+        slope[sid],
+        ent_ids,
+        p[..., 2],                                            # posz
+        sid,
+    ]
+
+
+def entity_field_table(pos, ext, sprite_id, d0, slope,
+                       field_pack: bool = False):
+    """(N, n_fields) int32 static candidate fields, one row per entity.
+
+    Computed ONCE per jitted program (outside any per-frame vmap) so
+    _expand_tables' per-frame work collapses to a single gather plus the
+    dynamic-entity override — the per-candidate field arithmetic runs on
+    nicely-tiled (N,) arrays instead of per frame on (HH, HL, cap, HW)
+    tiles whose 12-wide minor dim wastes ~90% of each vector op.
+    """
+    ids = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    fields = _candidate_fields(pos, ext, sprite_id, ids, d0, slope,
+                               field_pack)
+    return jnp.stack(fields, axis=-1)
+
+
 def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
                    config: RenderConfig, w_pad: int, dyn_pos=None,
                    n_compact: int | None = None,
                    slot_cap: int | None = None,
-                   field_pack: bool = False):
+                   field_pack: bool = False,
+                   ent_fields=None):
     """Build lane-expanded candidate field tables.
 
     Returns a stacked array ``[n_fields, HH, C*HL, w_pad]`` int32 with field
@@ -220,45 +277,33 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
     valid = jnp.moveaxis(valid, 3, 2)
 
     ent_s = jnp.where(valid, ent, 0)
-    p = pos[ent_s]                                            # (..., 3)
-    if dyn_pos is not None:
-        for d in range(dyn_pos.shape[0]):
-            p = jnp.where((ent_s == d)[..., None], dyn_pos[d], p)
-    e = ext[ent_s]
-    sid = sprite_id[ent_s]
-    if field_pack:
-        vi = valid.astype(jnp.int32)
-        packa = (vi + (sid << 1) + (d0[sid] << 4) + (slope[sid] << 9)
-                 + (e[..., 1] << 11))
-        packb = ((p[..., 0] + 2048)
-                 + ((p[..., 0] + e[..., 0] + 2048) << 12))
-        # Invalid slots must read as valid=0 through the packed row (the
+    if ent_fields is not None:
+        # Static per-entity table (entity_field_table): ONE gather per
+        # frame replaces the per-candidate field arithmetic below.
+        gf = ent_fields[ent_s]                    # (HH, HL, cap, HW, NF)
+        if dyn_pos is not None:
+            for d in range(dyn_pos.shape[0]):
+                dv = jnp.stack(_candidate_fields(
+                    dyn_pos[d], ext[d], sprite_id[d],
+                    jnp.int32(d), d0, slope, field_pack))
+                gf = jnp.where((ent_s == d)[..., None], dv, gf)
+        stacked = jnp.moveaxis(gf, -1, 0)         # (F, HH, HL, cap, HW)
+        # Invalid slots must read as valid=0 through row 0 (the
         # zero-padded lanes of the selection matmul already do).
-        fields = [
-            jnp.where(valid, packa, 0),
-            packb,
-            p[..., 1] + p[..., 2],
-            p[..., 1] + e[..., 1] + p[..., 2] + e[..., 2],
-            p[..., 1] - p[..., 2],
-            ent_s,
-            p[..., 2],                                        # posz
-        ]
+        stacked = stacked.at[0].set(
+            jnp.where(valid, stacked[0], 0))
     else:
-        fields = [
-            valid.astype(jnp.int32),
-            p[..., 0],
-            p[..., 0] + e[..., 0],
-            p[..., 1] + p[..., 2],
-            p[..., 1] + e[..., 1] + p[..., 2] + e[..., 2],
-            p[..., 1] - p[..., 2],
-            e[..., 1],
-            d0[sid],
-            slope[sid],
-            ent_s,
-            p[..., 2],                                        # posz
-            sid,
-        ]
-    stacked = jnp.stack(fields)                               # (F, HH, HL, cap, HW)
+        p = pos[ent_s]                                        # (..., 3)
+        if dyn_pos is not None:
+            for d in range(dyn_pos.shape[0]):
+                p = jnp.where((ent_s == d)[..., None], dyn_pos[d], p)
+        e = ext[ent_s]
+        sid = sprite_id[ent_s]
+        fields = _candidate_fields(p, e, sid, ent_s, d0, slope, field_pack)
+        # Invalid slots must read as valid=0 through row 0 (the
+        # zero-padded lanes of the selection matmul already do).
+        fields[0] = jnp.where(valid, fields[0], 0)
+        stacked = jnp.stack(fields)               # (F, HH, HL, cap, HW)
     F = stacked.shape[0]
     if slot_cap is not None and slot_cap < cap:
         assert n_compact is None
@@ -782,13 +827,18 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                                                 segments)
     w_pad = -(-cfg.view_width // 128) * 128
 
+    # Static per-entity fields: built once per program, shared by every
+    # frame's expansion (the vmap closes over it).
+    ef = entity_field_table(pos, ext, sprite_id, d0, slope,
+                            field_pack=field_pack)
+
     def winners_with(ncc, sc=None):
         def fn():
             tables = jax.vmap(
                 lambda be, cnt, dp: _expand_tables(
                     pos, ext, sprite_id, d0, slope, be, cnt, cfg, w_pad,
                     dyn_pos=dp, n_compact=ncc, slot_cap=sc,
-                    field_pack=field_pack)
+                    field_pack=field_pack, ent_fields=ef)
             )(bins_ent, counts, dyn_pos)
             return trace_keys_pallas(tables, cfg, segments=segments,
                                      rows_per_block=rows_per_block,

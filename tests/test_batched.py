@@ -126,6 +126,25 @@ class TestBatchedParity:
         f4 = np.asarray(a4.render_states(ds, players, lights))
         np.testing.assert_array_equal(f4, f1)
 
+    def test_packed_params_match_unpacked(self):
+        # Bit-packed candidate parameter tables (wordent + 10-bit box
+        # fields, shadow_pallas.candidate_param_tables_packed) are a pure
+        # layout change: the kernel must produce identical pixels with
+        # packed and unpacked SMEM tables.
+        from pixel_art_raytracer_tpu.ops.shadow_pallas import box_pack_ok
+
+        scene = demo_world(10)
+        assert box_pack_ok(scene, DEFAULT_CONFIG)
+        ds = DeviceScene.from_scene(scene)
+        a_pack = make_anim(scene, batched=True)
+        a_flat = make_anim(scene, batched=True)
+        a_pack.renderer.shadow_box_pack = True
+        a_flat.renderer.shadow_box_pack = False
+        players, lights = sweep(a_pack, scene, 2)
+        f_pack = np.asarray(a_pack.render_states(ds, players, lights))
+        f_flat = np.asarray(a_flat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_pack, f_flat)
+
     @pytest.mark.slow
     def test_slot_cap_reroute_matches(self):
         # A deliberately too-small slot cap must reroute (runtime

@@ -49,6 +49,10 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--no-field-pack", action="store_true",
                     help="force the unpacked 12-row trace field tables")
+    ap.add_argument("--no-box-pack", action="store_true",
+                    help="force the unpacked shadow candidate params")
+    ap.add_argument("--box-pack-sweep", action="store_true",
+                    help="sweep packed vs unpacked shadow params in-run")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="also time N back-to-back dispatches materialised "
                          "together (does the dispatch floor overlap "
@@ -76,6 +80,8 @@ def main() -> None:
     r.configure_for(scene)
     if args.no_field_pack:
         r.trace_field_pack = False
+    if args.no_box_pack:
+        r.shadow_box_pack = False
     cache = StaticBins(scene.pos, scene.ext, 1, cfg, r.spans)
     anim = AnimationRenderer(r, cfg, static_bins=cache)
     ds = DeviceScene.from_scene(scene, cfg)
@@ -112,31 +118,60 @@ def main() -> None:
             print(f"R={rows} G={groups} TR={trows} upto={label:24s} "
                   f"{t*1e3:9.2f} ms ({t*1e3/F:7.3f} ms/frame)")
     else:
+        packs = ([True, False] if args.box_pack_sweep
+                 else [r.shadow_box_pack])
+        # Compile every config first, then time them in interleaved
+        # rounds: the axon tunnel's ambient load drifts on the minutes
+        # scale (same-config repeats differ by up to 0.07 ms/frame), so
+        # sequential per-config timing confounds config and drift —
+        # interleaving cancels it.  Per config: median over rounds of the
+        # per-round best-of-iters.
+        entries = []
         for rows in args.rows:
             for groups in args.groups:
                 for trows in args.trace_rows:
-                    t = time_host(runner(rows, groups, trows, None),
-                                  players, lights, iters=args.iters)
-                    rays = 2 * cfg.view_width * cfg.view_height * F
-                    print(f"R={rows} G={groups} TR={trows} FULL "
-                          f"{t*1e3:9.2f} ms ({t*1e3/F:7.3f} ms/frame, "
-                          f"{rays/t/1e6:7.1f} Mrays/s)")
-                    if args.pipeline:
+                    for bp in packs:
+                        key = (rows, groups, trows, bp)
+                        if any(e[0] == key for e in entries):
+                            continue
+                        r.shadow_box_pack = bp
                         fn = runner(rows, groups, trows, None)
-                        import time as _t
+                        _ = np.asarray(fn(players, lights))   # compile
+                        entries.append((key, fn, []))
+        rounds = max(3, args.iters)
+        for _ in range(rounds):
+            for key, fn, ts in entries:
+                import time as _t
+                best = float("inf")
+                for _ in range(2):
+                    t0 = _t.perf_counter()
+                    _ = np.asarray(fn(players, lights))
+                    best = min(best, _t.perf_counter() - t0)
+                ts.append(best)
+        rays = 2 * cfg.view_width * cfg.view_height * F
+        for (rows, groups, trows, bp), _, ts in entries:
+            med = float(np.median(ts))
+            lo = float(np.min(ts))
+            print(f"R={rows} G={groups} TR={trows} pack={int(bp)} FULL "
+                  f"med {med*1e3:8.2f} ms ({med*1e3/F:6.3f} ms/f, "
+                  f"{rays/med/1e6:6.1f} Mr/s)  best {lo*1e3:8.2f} "
+                  f"({lo*1e3/F:6.3f})")
+        if args.pipeline:
+            import time as _t
 
-                        def burst(p, l, n=args.pipeline):
-                            outs = [fn(p, l) for _ in range(n)]
-                            return [np.asarray(o) for o in outs]
+            for (rows, groups, trows, bp), fn, _ in entries:
+                def burst(p, l, n=args.pipeline):
+                    outs = [fn(p, l) for _ in range(n)]
+                    return [np.asarray(o) for o in outs]
 
-                        burst(players, lights)
-                        t0 = _t.perf_counter()
-                        burst(players, lights)
-                        tb = (_t.perf_counter() - t0) / args.pipeline
-                        print(f"  pipelined x{args.pipeline}: "
-                              f"{tb*1e3:9.2f} ms/batch "
-                              f"({tb*1e3/F:7.3f} ms/frame, "
-                              f"{rays/tb/1e6:7.1f} Mrays/s)")
+                burst(players, lights)
+                t0 = _t.perf_counter()
+                burst(players, lights)
+                tb = (_t.perf_counter() - t0) / args.pipeline
+                print(f"R={rows} G={groups} TR={trows} pack={int(bp)} "
+                      f"pipelined x{args.pipeline}: "
+                      f"{tb*1e3:9.2f} ms/batch ({tb*1e3/F:7.3f} ms/frame, "
+                      f"{rays/tb/1e6:7.1f} Mrays/s)")
 
 
 if __name__ == "__main__":
