@@ -328,7 +328,7 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
                    box_ref,
                    centi_ref, trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref,
                    oz_ref, ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref,
-                   bitmap_scr,
+                   bitmap_scr, wcur_scr,
                    *, w_pad: int, rows: int, n_words: int, n_sz: int,
                    lane_groups: int = 1, chunk: int = 8,
                    saturate: bool = False, packed_params: bool = False):
@@ -388,13 +388,14 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
 
     jax.lax.fori_loop(sz_lo, sz_hi, sz_body, 0)
 
-    def chunk_body(i, occ):
+    def chunk_body(i, carry):
         # Candidates stream in unrolled chunks through this tile's *pruned*
         # index list (lists_ref, SMEM); all parameter reads are scalar
         # loads.  Overshoot past the count is harmless: tail candidates are
         # real but tile-irrelevant (their membership bits are zero for
         # every pixel here), and padded/invalid candidates point at the
         # dedicated always-zero bitmap word.
+        occ, prev_word = carry
         c0 = i * chunk
 
         for cc in range(chunk):
@@ -445,7 +446,21 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
             if _ablate == "nomember":
                 member = jnp.ones((R, gw), jnp.bool_)
             else:
-                w = bitmap_scr[word_c]
+                # Word-change caching: candidate lists come out of a
+                # stable compaction of (bin, slot)-ordered candidates, so
+                # word_c is (mostly) nondecreasing along the list — the
+                # dynamic bitmap_scr[word] read (measured costlier than
+                # the whole slab test at G=2) runs only when the word
+                # changes; the common case re-reads the staged copy at a
+                # static address.  Exact for ANY order: after the
+                # predicated refresh wcur always equals
+                # bitmap_scr[word_c].
+                @pl.when(word_c != prev_word)
+                def _():
+                    wcur_scr[:] = bitmap_scr[word_c]
+
+                prev_word = word_c
+                w = wcur_scr[:]
                 # Merged-candidate occupancy: any occupied bin's bit set.
                 member = (w & mask_c.astype(jnp.uint32)) != jnp.uint32(0)
 
@@ -475,10 +490,13 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
             occ_new = member & hit & (ent != ent_c)
             # int32 accumulator: Mosaic cannot legalize i1 loop carries.
             occ = occ | occ_new.astype(jnp.int32)
-        return occ
+        return occ, prev_word
 
     n = counts_ref[0, 0, block * G + g]
     occ0 = jnp.zeros((R, gw), jnp.int32)
+    # prev_word starts at an impossible value so the first candidate
+    # always stages its word.
+    carry0 = (occ0, jnp.int32(-1))
     n_chunks = (n + chunk - 1) // chunk
     if saturate:
         # Tile saturation early-out: once every pixel is occluded no
@@ -489,17 +507,17 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
         # while_loop condition serializes the Mosaic pipeline.  Kept as an
         # opt-in for future hardware; default off.
         def cond_fn(st):
-            i, occ = st
+            i, (occ, _) = st
             return (i < n_chunks) & (jnp.min(occ) < 1)
 
         def body_fn(st):
-            i, occ = st
-            return i + 1, chunk_body(i, occ)
+            i, carry = st
+            return i + 1, chunk_body(i, carry)
 
-        _, occluded = jax.lax.while_loop(cond_fn, body_fn,
-                                         (jnp.int32(0), occ0))
+        _, (occluded, _) = jax.lax.while_loop(cond_fn, body_fn,
+                                              (jnp.int32(0), carry0))
     else:
-        occluded = jax.lax.fori_loop(0, n_chunks, chunk_body, occ0)
+        occluded, _ = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
     out_ref[0] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
 
 
@@ -626,7 +644,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         ],
         out_specs=pl.BlockSpec((1, R, gw), lambda f, i, g: (f, i, g),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_words + 1, R, gw), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((n_words + 1, R, gw), jnp.uint32),
+                        pltpu.VMEM((R, gw), jnp.uint32)],
     )
     return pl.pallas_call(
         kernel,
