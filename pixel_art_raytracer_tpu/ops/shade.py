@@ -245,7 +245,7 @@ def shade_multi(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
 def shade_directional(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
                       bins_ent: jax.Array, counts: jax.Array,
                       direction, config: RenderConfig,
-                      max_steps: int = 32, style: str = "reference",
+                      max_steps: int | None = None, style: str = "reference",
                       palette_rgb=None, ambient: float | None = None
                       ) -> jax.Array:
     """Directional-light shading (framework extension; the reference has only
@@ -254,8 +254,16 @@ def shade_directional(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
     ``direction`` is the (3,) float32 direction *toward* the light.  Shadow
     rays march the same 7-phase bin DDA toward a virtual light far along the
     direction, so occlusion uses the identical traversal machinery.
+
+    ``max_steps`` defaults to the grid-crossing bound: a ray starting in
+    the grid leaves it after at most hash_width + hash_height+1 +
+    hash_length thick-DDA steps, so no in-grid occluder can be missed for
+    any direction (out-of-grid steps test nothing).
     """
     cfg = config
+    if max_steps is None:
+        max_steps = (cfg.hash_width + cfg.hash_height + 1
+                     + cfg.hash_length)
     H, W = cfg.view_height, cfg.view_width
     f32 = jnp.float32
     bs = cfg.bin_size

@@ -171,25 +171,35 @@ def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
     isbg = (bg[:, :W] > 0)
     active = jnp.ones_like(isbg) if needs is None else (needs[:, :W] > 0)
 
-    # Start presence per (block, tile) rides one-hot MXU contractions: a
-    # bit-packed uint32 OR-fold was measured SLOWER here (+0.03 ms/frame
-    # at F=64 — lax.reduce bitwise-OR over lane slices lowers to serial
-    # vector folds; 0/1 matmuls ride the MXU and are exact at default
-    # precision with f32 accumulation via preferred_element_type).
+    # Start presence per (block, tile): fold the row axis FIRST as int
+    # sz-bitmasks (1 << sz, plus a background bit at SZ) — (h, W) int32
+    # element work instead of materialising the (h, W, SZ) f32 one-hot
+    # the round-2 form contracted (~10x fewer elements; the drift-immune
+    # loop profile put this stage at ~0.05 ms/frame).  The folded
+    # (NB, W) masks unpack to a small (NB, W, SZ+1) 0/1, and the
+    # lane->(tile, sx) mapping stays an MXU one-hot contraction (exact:
+    # 0/1 products, sums << 2^24).  [A round-3 earlier attempt that
+    # packed the WORD OR-fold this way was slower — this one packs the
+    # row fold, which has 40x more elements to collapse.]
+    assert SZ <= 31, "sz-bitmask row fold needs SZ + background <= 32 bits"
     lanes = np.arange(W)
     lane_sx = np.minimum(lanes // cfg.bin_size, SX - 1)
     lane_ind = np.zeros((W, G, SX), np.float32)
     lane_ind[lanes, np.minimum(lanes // tw, G - 1), lane_sx] = 1.0
     lane_ind = jnp.asarray(lane_ind)
 
-    oh = ((sz[..., None] == jnp.arange(SZ, dtype=jnp.int32))
-          & (~isbg & active)[..., None]).astype(f32)          # (h, W, SZ)
-    pres = jnp.einsum("hws,wgx->hgxs", oh, lane_ind,
-                      preferred_element_type=f32)
-    pres = (pres.reshape(NB, R, G, SX, SZ).sum(axis=1) > 0)   # (NB,G,SX,SZ)
-    presbg = jnp.einsum("hw,wgx->hgx", (isbg & active).astype(f32),
-                        lane_ind, preferred_element_type=f32)
-    presbg = (presbg.reshape(NB, R, G, SX).sum(axis=1) > 0)   # (NB, G, SX)
+    bits = jnp.where(active,
+                     jnp.where(isbg, jnp.int32(1) << SZ,
+                               jnp.int32(1) << sz), 0)        # (h, W)
+    rowor = jax.lax.reduce(bits.reshape(NB, R, W), jnp.int32(0),
+                           jax.lax.bitwise_or, (1,))          # (NB, W)
+    unpacked = ((rowor[..., None]
+                 >> jnp.arange(SZ + 1, dtype=jnp.int32)) & 1
+                ).astype(f32)                                 # (NB, W, SZ+1)
+    presall = jnp.einsum("bws,wgx->bgxs", unpacked, lane_ind,
+                         preferred_element_type=f32) > 0      # (NB,G,SX,SZ+1)
+    pres = presall[..., :SZ]                                  # (NB,G,SX,SZ)
+    presbg = presall[..., SZ]                                 # (NB, G, SX)
 
     from .cstyle import c_div
 

@@ -126,6 +126,37 @@ class TestBatchedParity:
         f4 = np.asarray(a4.render_states(ds, players, lights))
         np.testing.assert_array_equal(f4, f1)
 
+    @pytest.mark.slow
+    def test_word_cache_exact_for_unsorted_lists(self, monkeypatch):
+        # The shadow kernel caches the current membership word's bitmap
+        # and refreshes it on a word change (exploiting that pruned lists
+        # are ~word-sorted).  Exactness must NOT depend on that order:
+        # reversing every tile's relevant prefix (word order descending —
+        # the cache's worst case) must produce identical pixels.
+        from pixel_art_raytracer_tpu.ops import shadow_pallas as sp
+
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        a = make_anim(scene, batched=True)
+        players, lights = sweep(a, scene, 2)
+        base = np.asarray(a.render_states(ds, players, lights))
+
+        orig = sp.candidate_lists_from_relc
+
+        def reversed_lists(relc):
+            lists, counts = orig(relc)
+            idx = jnp.arange(lists.shape[-1], dtype=jnp.int32)
+            rev = jnp.take_along_axis(
+                lists, (counts[..., None] - 1 - idx) % lists.shape[-1],
+                axis=-1)
+            return jnp.where(idx < counts[..., None], rev, lists), counts
+
+        monkeypatch.setattr(sp, "candidate_lists_from_relc",
+                            reversed_lists)
+        a2 = make_anim(scene, batched=True)
+        flipped = np.asarray(a2.render_states(ds, players, lights))
+        np.testing.assert_array_equal(flipped, base)
+
     def test_packed_params_match_unpacked(self):
         # Bit-packed candidate parameter tables (wordent + 10-bit box
         # fields, shadow_pallas.candidate_param_tables_packed) are a pure

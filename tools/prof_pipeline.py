@@ -43,7 +43,7 @@ def main() -> None:
     ap.add_argument("--rows", type=int, nargs="*", default=[40])
     ap.add_argument("--groups", type=int, nargs="*", default=[1])
     ap.add_argument("--trace-rows", type=int, nargs="*", default=[8])
-    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--chunk", type=int, nargs="*", default=[8])
     ap.add_argument("--light", type=str, default="center",
                     choices=["center", "edge_x", "edge_z"])
     ap.add_argument("--iters", type=int, default=3)
@@ -88,14 +88,15 @@ def main() -> None:
     players, lights = anim.light_sweep_states(
         F, scene.pos[0], center=centers[args.light], radius=40)
 
-    def runner(rows, groups, trows, upto):
+    def runner(rows, groups, trows, upto, chunk=None):
+        chunk = args.chunk[0] if chunk is None else chunk
         @jax.jit
         def run(players, lights):
             out = render_states_batched(r, cache, ds, players, lights,
                                         shadow_rows=rows,
                                         lane_groups=groups,
                                         trace_rows=trows,
-                                        shadow_chunk=args.chunk, upto=upto)
+                                        shadow_chunk=chunk, upto=upto)
             if upto is None:
                 return out, out.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
             return out
@@ -130,14 +131,15 @@ def main() -> None:
         for rows in args.rows:
             for groups in args.groups:
                 for trows in args.trace_rows:
-                    for bp in packs:
-                        key = (rows, groups, trows, bp)
-                        if any(e[0] == key for e in entries):
-                            continue
-                        r.shadow_box_pack = bp
-                        fn = runner(rows, groups, trows, None)
-                        _ = np.asarray(fn(players, lights))   # compile
-                        entries.append((key, fn, []))
+                    for ch in args.chunk:
+                        for bp in packs:
+                            key = (rows, groups, trows, ch, bp)
+                            if any(e[0] == key for e in entries):
+                                continue
+                            r.shadow_box_pack = bp
+                            fn = runner(rows, groups, trows, None, ch)
+                            _ = np.asarray(fn(players, lights))   # compile
+                            entries.append((key, fn, []))
         rounds = max(3, args.iters)
         for _ in range(rounds):
             for key, fn, ts in entries:
@@ -149,17 +151,17 @@ def main() -> None:
                     best = min(best, _t.perf_counter() - t0)
                 ts.append(best)
         rays = 2 * cfg.view_width * cfg.view_height * F
-        for (rows, groups, trows, bp), _, ts in entries:
+        for (rows, groups, trows, ch, bp), _, ts in entries:
             med = float(np.median(ts))
             lo = float(np.min(ts))
-            print(f"R={rows} G={groups} TR={trows} pack={int(bp)} FULL "
+            print(f"R={rows} G={groups} TR={trows} C={ch} pack={int(bp)} FULL "
                   f"med {med*1e3:8.2f} ms ({med*1e3/F:6.3f} ms/f, "
                   f"{rays/med/1e6:6.1f} Mr/s)  best {lo*1e3:8.2f} "
                   f"({lo*1e3/F:6.3f})")
         if args.pipeline:
             import time as _t
 
-            for (rows, groups, trows, bp), fn, _ in entries:
+            for (rows, groups, trows, ch, bp), fn, _ in entries:
                 def burst(p, l, n=args.pipeline):
                     outs = [fn(p, l) for _ in range(n)]
                     return [np.asarray(o) for o in outs]
@@ -168,8 +170,8 @@ def main() -> None:
                 t0 = _t.perf_counter()
                 burst(players, lights)
                 tb = (_t.perf_counter() - t0) / args.pipeline
-                print(f"R={rows} G={groups} TR={trows} pack={int(bp)} "
-                      f"pipelined x{args.pipeline}: "
+                print(f"R={rows} G={groups} TR={trows} C={ch} "
+                      f"pack={int(bp)} pipelined x{args.pipeline}: "
                       f"{tb*1e3:9.2f} ms/batch ({tb*1e3/F:7.3f} ms/frame, "
                       f"{rays/tb/1e6:7.1f} Mrays/s)")
 
