@@ -135,7 +135,8 @@ class AnimationRenderer:
                         & (cap - 1)).max())
             sc = min(cap, smax + static_bins.n_dynamic)
             self.trace_slot_cap = sc if sc < cap else None
-        self._render_states_jit = jax.jit(self._render_states)
+        self._render_states_jit = jax.jit(
+            self._render_states, static_argnames=("directional",))
 
     def _default_trace_rows(self) -> int:
         """Largest legal trace-kernel row block that fits VMEM.
@@ -190,18 +191,43 @@ class AnimationRenderer:
                 and (self.static_bins is None
                      or self.static_bins.n_dynamic == 1))
 
+    def _directional_capable(self) -> bool:
+        """The directional fast path extends the membership row axis by
+        VY*VZ variants, multiplying the shadow kernel's per-block t_row
+        VMEM slice; require the (double-buffered) slice to stay within
+        ~6 MB of the ~16 MB budget.  Scenes beyond it (huge grids) run
+        the per-frame scan extension instead."""
+        from ..ops import shadow_dir, shadow_fast
+
+        cfg = self.config
+        r = self.renderer
+        tables = r.shadow_tables or shadow_fast.default_tables(
+            cfg, max_steps=r.shadow_max_steps)
+        SZ = tables.sz_hi - tables.sz_lo
+        ez = SZ * shadow_dir.VY * shadow_dir.VZ
+        n_words = -(-cfg.hash_volume // 32)
+        w_pad = -(-cfg.view_width // 128) * 128
+        gw = w_pad // max(1, self.shadow_lane_groups)
+        return 2 * 4 * ez * n_words * gw <= 6 * 2 ** 20
+
     def render_states(self, dscene: DeviceScene, player_pos: jax.Array,
-                      lights: jax.Array) -> jax.Array:
+                      lights: jax.Array,
+                      directional: bool = False) -> jax.Array:
         """Render one frame per state row.
 
         player_pos: (F, 3) int32; lights: (F, 3) int32 — or (F, L, 3) for
         additive multi-light frames (the batched pipeline runs its shadow
-        phases once per light; see models/batched.py).
+        phases once per light; see models/batched.py).  With
+        ``directional=True``, lights is (F, 3) float32 per-frame light
+        *directions* (ops.shade.shade_directional semantics; the batched
+        pipeline runs the extended-start-space fast path,
+        ops/shadow_dir.py).
         Returns (F, H, W, 3) uint8.  Compiled once per (scene shape, F).
         """
-        return self._render_states_jit(dscene, player_pos, lights)
+        return self._render_states_jit(dscene, player_pos, lights,
+                                       directional=directional)
 
-    def _frame(self, dscene, player, light):
+    def _frame(self, dscene, player, light, directional: bool = False):
         r = self.renderer
         scene_f = scene_with_player(dscene, player)
         if self.static_bins is not None:
@@ -211,6 +237,12 @@ class AnimationRenderer:
         else:
             bins_ent, counts = r.build_bins(scene_f)
         gbuf = r.trace(scene_f, bins_ent, counts)
+        if directional:
+            from ..ops import shade as shade_ops
+
+            return shade_ops.shade_directional(
+                scene_f.pos, scene_f.ext, gbuf, bins_ent, counts, light,
+                self.config)
         if light.ndim == 2:
             # Multi-light frame on the scan path (ops.shade.shade_multi).
             from ..ops import shade as shade_ops
@@ -221,11 +253,13 @@ class AnimationRenderer:
                 r.shadow_tables)
         return r.shade(scene_f, gbuf, bins_ent, counts, light)
 
-    def _render_states(self, dscene, player_pos, lights):
+    def _render_states(self, dscene, player_pos, lights,
+                       directional: bool = False):
         cfg = self.config
         H, W = cfg.view_height, cfg.view_width
         F = player_pos.shape[0]
-        if self._batched_capable(dscene):
+        if self._batched_capable(dscene) and not (
+                directional and not self._directional_capable()):
             from .batched import render_states_batched
 
             return render_states_batched(self.renderer, self.static_bins,
@@ -234,13 +268,16 @@ class AnimationRenderer:
                                          trace_compact=self.trace_compact,
                                          lane_groups=self.shadow_lane_groups,
                                          trace_rows=self.trace_rows,
-                                         trace_slot_cap=self.trace_slot_cap)
-        G = self.frames_per_step if lights.ndim == 2 else 1
+                                         trace_slot_cap=self.trace_slot_cap,
+                                         directional=directional)
+        G = (self.frames_per_step
+             if lights.ndim == 2 and not directional else 1)
         while F % G:
             G -= 1
 
         def one(player, light):
-            frame = self._frame(dscene, player, light)
+            frame = self._frame(dscene, player, light,
+                                directional=directional)
             # Flatten (W, 3) so the scan-stacked uint8 buffer has a dense
             # minor dimension — TPU tiling would pad a minor dim of 3 to
             # 128 (a 42x memory and bandwidth blowup).

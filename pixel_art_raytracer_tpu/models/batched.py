@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
+from ..ops import cstyle
 from ..ops import shade as shade_ops
 from ..ops import shadow_fast, shadow_pallas, trace_pallas
 
@@ -43,6 +44,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                           trace_rows: int = 8,
                           shadow_chunk: int = 8,
                           trace_slot_cap: int | None = None,
+                          directional: bool = False,
                           upto: str | None = None) -> jax.Array:
     """Render F frames as one batched device program.
 
@@ -142,15 +144,19 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         return mix.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
 
     # -- 3+4. shadow prep + kernel, once per light --------------------------
-    multi = lights.ndim == 3
+    if directional:
+        assert lights.ndim == 2, "directional mode takes (F, 3) directions"
+    multi = (not directional) and lights.ndim == 3
     lights_l = lights if multi else lights[:, None, :]
     L = lights_l.shape[1]
 
     # Light-independent pixel inputs (origin/ray-bin come out of the
-    # geometry call but don't depend on the light; XLA CSEs the repeats).
+    # geometry call but don't depend on the light; XLA CSEs the repeats —
+    # directional mode feeds a dummy light, using only origin/rb).
+    geom_light = (jnp.zeros((F, 3), jnp.int32) if directional
+                  else lights_l[:, 0])
     _, _, origin, rb, _ = jax.vmap(
-        lambda g, l: shade_ops.light_geometry(g, l, cfg))(gbuf,
-                                                          lights_l[:, 0])
+        lambda g, l: shade_ops.light_geometry(g, l, cfg))(gbuf, geom_light)
     szidx = _padw(jnp.clip(rb[2] - tables.sz_lo, 0, SZ - 1), w_pad)
     # Background pixels (zero G-buffer y/z, quirk Q6) use the aliased
     # background start row; wy+wz == world_j >= 1 for hits.
@@ -305,11 +311,152 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             return lit.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
         return tl, lit
 
+    def light_pass_dir(dirs_f):
+        """Stages 3-4 for one (F, 3) float32 direction set -> (dot, lit).
+
+        The directional extension of the fast path (ops/shadow_dir.py):
+        the per-pixel virtual far-light bins fold into an extended start
+        space — x variants ride a traced lane matrix, (y, z) variants the
+        membership row axis — and the same Pallas kernel runs on the
+        extended tables.  Pixel-identical to ops.shade.shade_directional
+        (the scan extension) by construction; frames whose start-bin z
+        leaves the table range (or overflow the candidate list) reroute
+        to the exact scan march.
+        """
+        from ..ops import shadow_dir
+
+        dtab = tables._replace(max_steps=shadow_dir.grid_max_steps(cfg))
+        etab = shadow_dir.extended_tables(dtab)
+        EZ = etab.sz_hi
+        tl, inv, K = jax.vmap(
+            lambda d: shadow_dir.direction_constants(d, cfg))(dirs_f)
+        dot = (gbuf.normal[..., 0] * tl[0][:, None, None]
+               + gbuf.normal[..., 1] * tl[1][:, None, None]
+               + gbuf.normal[..., 2] * tl[2][:, None, None])
+        needs = _padw((dot > 0).astype(jnp.int32), w_pad)
+        ez, rbz = jax.vmap(
+            lambda y, z, k0, k1, k2: shadow_dir.pixel_rows(
+                y, z, (k0, k1, k2), cfg, dtab))(gbuf.y, gbuf.z, *K)
+        ezp = _padw(ez, w_pad)
+        ezbg = jax.vmap(
+            lambda k0, k1, k2: shadow_dir.bg_row((k0, k1, k2), cfg, dtab)
+        )(*K)
+        lrows, lsel = jax.vmap(
+            lambda k0: shadow_dir.lane_rows_and_matrix(k0, cfg, w_pad)
+        )(K[0])
+        szr = jax.vmap(
+            lambda s, b, n: shadow_pallas.block_sz_ranges(s, b, W, R, EZ,
+                                                          needs=n)
+        )(ezp, bg, needs)
+        words = jax.vmap(
+            lambda k0, k1, k2: shadow_dir.membership_words_dir(
+                (k0, k1, k2), cfg, dtab, dtab.max_steps))(*K)
+        n_words = words.shape[-1]
+        any_words = jax.lax.reduce(words, jnp.uint32(0),
+                                   jax.lax.bitwise_or, (1,))
+        tested_any = jax.vmap(
+            lambda w: shadow_fast.unpack_member_words(w[None], cfg)[0]
+        )(any_words)
+        cands = jax.vmap(
+            lambda be, cnt, ta, dp: shadow_fast.build_candidates(
+                dscene.pos, dscene.ext, be, cnt, None, cfg, dtab,
+                tested_any=ta, dyn_pos=dp)
+        )(bins_ent, counts, tested_any, dyn_pos)
+        n_sx = cfg.hash_width * shadow_dir.VX
+        relc = jax.vmap(
+            lambda w, s, b, c, n, lr, br:
+            shadow_pallas.tile_candidate_relevance(
+                w, s, b, c, cfg, etab, R, lane_groups=G, needs=n,
+                n_sx=n_sx, lane_rows=lr, bg_row=br)
+        )(words, ezp, bg, cands, needs, lrows, ezbg)
+        lists, blk_counts = jax.vmap(
+            shadow_pallas.candidate_lists_from_relc)(relc)
+        t_row, t_bg = jax.vmap(
+            lambda w, ls, br: shadow_pallas.lane_member_tables(
+                w, cfg, etab, R, w_pad, n_sx=n_sx, lane_sel=ls,
+                bg_row=br)
+        )(words, lsel, ezbg)
+        cword, cmask, box, centi = jax.vmap(
+            lambda c: shadow_pallas.candidate_param_tables(c, n_words)
+        )(cands)
+        iv = tuple(jnp.broadcast_to(v[:, None, None], (F, H, w_pad))
+                   for v in inv)
+
+        def fast_lit():
+            lit_pad = shadow_pallas.shadow_call_batched(
+                blk_counts.reshape(F, -1), szr, cword, cmask,
+                lists.reshape(F, H // R, -1, 128),
+                box, centi, t_row, t_bg, ezp, bg, ent_p, oy_p, oz_p,
+                iv[0], iv[1], iv[2], cfg, etab, rows_per_block=R,
+                lane_groups=G, chunk=shadow_chunk)
+            return lit_pad[:, :, :W] > 0
+
+        if r.shadow_guard == "fallback":
+            # Variant indices are in range by construction (shadow_dir
+            # module docstring); only the real start-bin z range and the
+            # candidate capacity need the runtime envelope.  No step
+            # guard: the scan path truncates at the same static
+            # max_steps, so truncation is parity-identical.
+            sz_in = (rbz >= dtab.sz_lo) & (rbz < dtab.sz_hi)
+            ok = (~jnp.any(cands.overflow)
+                  & jnp.all(sz_in | ~(dot > 0)))
+
+            def slow_lit():
+                from ..ops.shadow import trace_light
+
+                def one(args):
+                    p, g_ent, y, z, k0, k1, k2, i0, i1, i2 = args
+                    pos_f = dscene.pos.at[0].set(p)
+                    if static_bins is not None:
+                        be, cnt = static_bins.merge(pos_f[:1],
+                                                    dscene.ext[:1])
+                    else:
+                        from ..ops import binning
+
+                        be, cnt = binning.build_bins(pos_f, dscene.ext,
+                                                     cfg, r.spans)
+                    bs = cfg.bin_size
+                    wx = jnp.broadcast_to(
+                        jnp.arange(W, dtype=jnp.int32)[None, :], y.shape)
+                    rbf = (cstyle.c_div(wx, bs),
+                           cstyle.c_div(jnp.int32(H) - y - z, bs),
+                           cstyle.c_div(z, bs))
+                    lbf = shadow_dir.pixel_light_bins(y, z, (k0, k1, k2),
+                                                      cfg)
+                    orig = (wx.astype(jnp.float32),
+                            y.astype(jnp.float32), z.astype(jnp.float32))
+                    return trace_light(pos_f, dscene.ext, be, cnt, rbf,
+                                       lbf, g_ent, orig, (i0, i1, i2),
+                                       cfg, dtab.max_steps)
+
+                return jax.lax.map(
+                    one, (players, gbuf.entity_index, gbuf.y, gbuf.z,
+                          K[0], K[1], K[2], inv[0], inv[1], inv[2]))
+
+            lit = jax.lax.cond(ok, fast_lit, slow_lit)
+        else:
+            lit = fast_lit()
+        return dot, lit
+
     if upto in ("geom", "cands", "rel", "prep", "shadow"):
+        if directional:
+            if upto != "shadow":
+                raise ValueError(
+                    "directional mode supports upto='shadow' only")
+            _, lit = light_pass_dir(lights_l[:, 0].astype(jnp.float32))
+            return lit.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
         return light_pass(lights_l[:, 0], upto=upto)
 
     # -- 5. shade -------------------------------------------------------------
-    if multi:
+    if directional:
+        # Reference-style shading with the constant towards-light dir
+        # (mirrors ops.shade.shade_directional's default style).
+        dot, lit = light_pass_dir(lights_l[:, 0].astype(jnp.float32))
+        amb = f32(cfg.ambient)
+        brightness = cstyle.c_min(f32(1.0),
+                                  cstyle.c_max(f32(0.0), dot) + amb)
+        factor = jnp.where(lit, brightness, amb)
+    elif multi:
         # Additive multi-light (ops.shade.shade_multi semantics): each
         # light's shadowed diffuse accumulates over a shared ambient base.
         ambient = f32(cfg.ambient)

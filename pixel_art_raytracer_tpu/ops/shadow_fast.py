@@ -172,8 +172,6 @@ def _dda_probe_flats(light_bin, config: RenderConfig, tables: ShadowTables):
     (including aliased flats), and masking of out-of-allocation indices.
     """
     cfg = config
-    V = cfg.hash_volume
-    f32 = jnp.float32
     SX, SY = cfg.hash_width, cfg.hash_height + 1
     SZ = tables.sz_hi - tables.sz_lo
 
@@ -182,6 +180,20 @@ def _dda_probe_flats(light_bin, config: RenderConfig, tables: ShadowTables):
     sz = jnp.arange(tables.sz_lo, tables.sz_hi, dtype=jnp.int32)[None, None, :]
     sx, sy, sz = (jnp.broadcast_to(a, (SX, SY, SZ)).reshape(-1)
                   for a in (sx, sy, sz))
+    return _dda_probe_flats_from(sx, sy, sz, light_bin, cfg,
+                                 tables.max_steps)
+
+
+def _dda_probe_flats_from(sx, sy, sz, light_bin, config: RenderConfig,
+                          max_steps: int):
+    """DDA probe simulation from explicit start-bin arrays toward per-start
+    (or scalar, broadcast) light bins — the shared core of the point-light
+    table build and the directional extended start space
+    (ops/shadow_dir.py).  Arguments are flat (P,) int32 arrays; returns
+    (7*max_steps, P) int32 probe flats with sentinel V."""
+    cfg = config
+    V = cfg.hash_volume
+    f32 = jnp.float32
 
     lbx, lby, lbz = light_bin
     fx, fy, fz = sx.astype(f32), sy.astype(f32), sz.astype(f32)
@@ -204,12 +216,12 @@ def _dda_probe_flats(light_bin, config: RenderConfig, tables: ShadowTables):
     # overhead-bound on TPU).
     ax, ay, az = fx, fy, fz
     anchors = []
-    for _ in range(tables.max_steps):
+    for _ in range(max_steps):
         anchors.append((ax, ay, az))
         ax = ax + stx
         ay = ay + sty
         az = az + stz
-    K = tables.max_steps
+    K = max_steps
     Axs = jnp.stack([a[0] for a in anchors])       # (K, P)
     Ays = jnp.stack([a[1] for a in anchors])
     Azs = jnp.stack([a[2] for a in anchors])
@@ -258,10 +270,13 @@ def dda_membership_words(light_bin, config: RenderConfig,
     the simulation runs per frame of an animation batch.
     """
     cfg = config
-    V = cfg.hash_volume
-    n_words = -(-V // 32)
     flats = _dda_probe_flats(light_bin, cfg, tables)    # (7K, P)
+    return _words_from_flats(flats, cfg.hash_volume)
 
+
+def _words_from_flats(flats, V: int):
+    """(7K, P) probe flats (sentinel V) -> (P, n_words) uint32 bitmaps."""
+    n_words = -(-V // 32)
     word_id = flats // 32                                # sentinel V -> n_words*
     shifted = (jnp.uint32(1)
                << (flats % 32).astype(jnp.uint32))

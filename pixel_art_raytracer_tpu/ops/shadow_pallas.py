@@ -133,7 +133,9 @@ def used_block_relevance(member, szidx, bg, config: RenderConfig,
 def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
                              config: RenderConfig, tables: ShadowTables,
                              rows_per_block: int, row0=0,
-                             lane_groups: int = 1, needs=None):
+                             lane_groups: int = 1, needs=None,
+                             n_sx: int | None = None, lane_rows=None,
+                             bg_row=None):
     """Per-(row-block, lane-tile) candidate relevance straight from packed
     membership words — no dense (starts, V) bitmap unpack.
 
@@ -152,13 +154,19 @@ def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
     Background pixels carry zero normals (quirk Q6), so a dot-based mask
     subsumes the background row too.
 
+    ``n_sx``/``lane_rows``/``bg_row`` generalise the start space for the
+    directional extension (ops/shadow_dir.py): ``n_sx`` overrides the
+    leading start-space axis, ``lane_rows`` ((>=W,) int32, may be traced)
+    overrides the lane -> leading-axis mapping, and ``bg_row`` (traced
+    int32) overrides the background start's row on the sz axis.
+
     Returns relc (NB, G, M) bool.
     """
     cfg = config
     W = cfg.view_width
     R = rows_per_block
     NB = szidx.shape[0] // R
-    SX = cfg.hash_width
+    SX = cfg.hash_width if n_sx is None else n_sx
     SY = cfg.hash_height + 1
     SZ = tables.sz_hi - tables.sz_lo
     G = lane_groups
@@ -181,21 +189,40 @@ def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
     # 0/1 products, sums << 2^24).  [A round-3 earlier attempt that
     # packed the WORD OR-fold this way was slower — this one packs the
     # row fold, which has 40x more elements to collapse.]
-    assert SZ <= 31, "sz-bitmask row fold needs SZ + background <= 32 bits"
-    lanes = np.arange(W)
-    lane_sx = np.minimum(lanes // cfg.bin_size, SX - 1)
-    lane_ind = np.zeros((W, G, SX), np.float32)
-    lane_ind[lanes, np.minimum(lanes // tw, G - 1), lane_sx] = 1.0
-    lane_ind = jnp.asarray(lane_ind)
+    if lane_rows is None:
+        lanes = np.arange(W)
+        lane_sx = np.minimum(lanes // cfg.bin_size, SX - 1)
+        lane_ind = np.zeros((W, G, SX), np.float32)
+        lane_ind[lanes, np.minimum(lanes // tw, G - 1), lane_sx] = 1.0
+        lane_ind = jnp.asarray(lane_ind)
+    else:
+        lr = lane_rows[:W]
+        gidx = jnp.minimum(jnp.arange(W, dtype=jnp.int32) // tw, G - 1)
+        lane_ind = ((gidx[:, None, None]
+                     == jnp.arange(G, dtype=jnp.int32)[None, :, None])
+                    & (lr[:, None, None]
+                       == jnp.arange(SX, dtype=jnp.int32)[None, None, :])
+                    ).astype(f32)                         # (W, G, SX)
 
-    bits = jnp.where(active,
-                     jnp.where(isbg, jnp.int32(1) << SZ,
-                               jnp.int32(1) << sz), 0)        # (h, W)
-    rowor = jax.lax.reduce(bits.reshape(NB, R, W), jnp.int32(0),
-                           jax.lax.bitwise_or, (1,))          # (NB, W)
-    unpacked = ((rowor[..., None]
-                 >> jnp.arange(SZ + 1, dtype=jnp.int32)) & 1
-                ).astype(f32)                                 # (NB, W, SZ+1)
+    if SZ <= 31:
+        bits = jnp.where(active,
+                         jnp.where(isbg, jnp.int32(1) << SZ,
+                                   jnp.int32(1) << sz), 0)    # (h, W)
+        rowor = jax.lax.reduce(bits.reshape(NB, R, W), jnp.int32(0),
+                               jax.lax.bitwise_or, (1,))      # (NB, W)
+        unpacked = ((rowor[..., None]
+                     >> jnp.arange(SZ + 1, dtype=jnp.int32)) & 1
+                    ).astype(f32)                             # (NB, W, SZ+1)
+    else:
+        # Wide row axes (> 31 sz rows + background) don't fit an int32
+        # bitmask: fold the rows as a one-hot sum instead (the round-2
+        # form; slower but unbounded — directional extended axes and
+        # huge-grid default tables land here).
+        idx = jnp.where(isbg, jnp.int32(SZ), sz)
+        oh = ((idx[..., None] == jnp.arange(SZ + 1, dtype=jnp.int32))
+              & active[..., None]).astype(f32)                # (h, W, SZ+1)
+        unpacked = (oh.reshape(NB, R, W, SZ + 1).sum(axis=1) > 0
+                    ).astype(f32)                             # (NB, W, SZ+1)
     presall = jnp.einsum("bws,wgx->bgxs", unpacked, lane_ind,
                          preferred_element_type=f32) > 0      # (NB,G,SX,SZ+1)
     pres = presall[..., :SZ]                                  # (NB,G,SX,SZ)
@@ -208,7 +235,11 @@ def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
                 + jnp.arange(NB, dtype=jnp.int32) * R) // cfg.bin_size
     mrows = jnp.moveaxis(m[:, block_sy], 1, 0)            # (NB, SX, SZ, nw)
     sy_bg = min(int(c_div(cfg.view_height, cfg.bin_size)), SY - 1)
-    mbg = m[:, sy_bg, -tables.sz_lo]                      # (SX, nw)
+    if bg_row is None:
+        mbg = m[:, sy_bg, -tables.sz_lo]                  # (SX, nw)
+    else:
+        mbg = jax.lax.dynamic_index_in_dim(m[:, sy_bg], bg_row, axis=1,
+                                           keepdims=False)
 
     # Packed OR-fold over present starts: (NB, G, SX, SZ, nw) select then
     # bitwise-OR reduce — whole words, no per-bin unpack.
@@ -265,12 +296,19 @@ def candidate_lists_from_relc(relc):
 
 def lane_member_tables(member_words, config: RenderConfig,
                        tables: ShadowTables, rows_per_block: int,
-                       w_pad: int, row0=0, n_rows: int | None = None):
+                       w_pad: int, row0=0, n_rows: int | None = None,
+                       n_sx: int | None = None, lane_sel=None,
+                       bg_row=None):
     """Lane-expanded membership word tables, one row per DISTINCT bin row.
 
     ``row0``/``n_rows`` select the screen-row window (for row-sharded
     shards); defaults cover the full frame.  ``row0`` must be a bin-row
-    multiple (the shard_map driver guarantees it).  Returns:
+    multiple (the shard_map driver guarantees it).
+    ``n_sx``/``lane_sel``/``bg_row`` generalise the start space for the
+    directional extension (ops/shadow_dir.py): ``lane_sel`` is a
+    ((n_sx, w_pad) 0/1 f32, may be traced) lane-selection matrix and
+    ``bg_row`` (traced int32) the background start's sz-axis row.
+    Returns:
       t_row: (n_sy, SZ * n_words, w_pad) uint32 — words for each bin row
              the window touches, per sz, expanded over lanes
              (sx = lane // bin_size).  Row k covers screen rows
@@ -287,13 +325,15 @@ def lane_member_tables(member_words, config: RenderConfig,
         n_rows = cfg.view_height
     n_sy = -(-n_rows // cfg.bin_size)
 
-    m = member_words.reshape(cfg.hash_width, SY, SZ, nw)
+    m = member_words.reshape(cfg.hash_width if n_sx is None else n_sx,
+                             SY, SZ, nw)
     block_sy = (jnp.asarray(row0, jnp.int32) // cfg.bin_size
                 + jnp.arange(n_sy, dtype=jnp.int32))
 
     from .trace_pallas import lane_select_matrix
 
-    sel = lane_select_matrix(cfg, w_pad)                   # (SX, w_pad) 0/1
+    sel = (lane_select_matrix(cfg, w_pad) if lane_sel is None
+           else lane_sel)                                  # (SX, w_pad) 0/1
 
     def expand(rows):  # (..., SX, nw) -> (..., nw, w_pad)
         # Lane expansion as an MXU matmul (lane gathers are slow); uint32
@@ -323,7 +363,11 @@ def lane_member_tables(member_words, config: RenderConfig,
 
     sy_bg = int(c_div(cfg.view_height, cfg.bin_size))
     sy_bg = min(sy_bg, SY - 1)
-    bg_rows = m[:, sy_bg, -tables.sz_lo]               # (SX, nw)
+    if bg_row is None:
+        bg_rows = m[:, sy_bg, -tables.sz_lo]           # (SX, nw)
+    else:
+        bg_rows = jax.lax.dynamic_index_in_dim(m[:, sy_bg], bg_row,
+                                               axis=1, keepdims=False)
     t_bg = expand(bg_rows)                             # (nw, w_pad)
     return t_row, t_bg
 

@@ -22,7 +22,8 @@ from pixel_art_raytracer_tpu.ops import shadow_fast
 
 def make_anim(scene, batched, static_bins=True, **kw):
     cfg = DEFAULT_CONFIG
-    tables = shadow_fast.default_tables(cfg, max_candidates=1024)
+    tables = kw.pop("shadow_tables",
+                    shadow_fast.default_tables(cfg, max_candidates=1024))
     r = DeferredRenderer(cfg, shadow_impl="pallas", trace_impl="auto",
                          shadow_tables=tables, **kw)
     r.configure_for(scene)
@@ -70,6 +71,64 @@ class TestBatchedParity:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights2))
         f_scan = np.asarray(a_scan.render_states(ds, players, lights2))
         np.testing.assert_array_equal(f_bat, f_scan)
+
+    def test_directional_batched(self):
+        # Directional lights (shade_directional semantics) through the
+        # batched pipeline: the per-pixel virtual far-light bins fold into
+        # an extended start space (ops/shadow_dir.py) and the same Pallas
+        # kernel runs on the extended tables.  Must be pixel-identical to
+        # the per-frame scan extension — with the guard DISABLED, so the
+        # comparison exercises the kernel fast path, not the reroute.
+        from pixel_art_raytracer_tpu.ops import shade as shade_ops
+        from pixel_art_raytracer_tpu.models.animation import \
+            scene_with_player
+
+        cfg = DEFAULT_CONFIG
+        scene = demo_world(10)
+        tables = shadow_fast.derive_tables(cfg, scene)
+        r = DeferredRenderer(cfg, shadow_impl="pallas", trace_impl="auto",
+                             shadow_tables=tables, shadow_guard="none")
+        r.configure_for(scene)
+        ds = DeviceScene.from_scene(scene)
+        cache = StaticBins(scene.pos, scene.ext, 1, cfg, r.spans)
+        a = AnimationRenderer(r, cfg, static_bins=cache, batched=True)
+        assert a._directional_capable()
+        F = 2
+        players = jnp.broadcast_to(ds.pos[0], (F, 3)).astype(jnp.int32)
+        players = players.at[1, 0].add(25)
+        dirs = jnp.asarray([[0.3, 1.0, -0.2], [-1.0, 0.8, 0.5]],
+                           jnp.float32)
+        fb = np.asarray(a.render_states(ds, players, dirs,
+                                        directional=True))
+
+        def one(player, d):
+            sf = scene_with_player(ds, player)
+            be, cnt = cache.merge(sf.pos[:1], sf.ext[:1])
+            g = r.trace(sf, be, cnt)
+            return shade_ops.shade_directional(sf.pos, sf.ext, g, be, cnt,
+                                               d, cfg)
+
+        fs = np.stack([np.asarray(jax.jit(one)(players[i], dirs[i]))
+                       for i in range(F)])
+        np.testing.assert_array_equal(fb, fs)
+
+    @pytest.mark.slow
+    def test_wide_sz_tables_use_onehot_fallback(self):
+        # SZ > 31 rows can't ride the int32 sz-bitmask row fold in
+        # tile_candidate_relevance; the one-hot fallback must produce the
+        # same pixels (a wider sz table is a semantic no-op — the extra
+        # rows are just never selected).
+        scene = demo_world(8)
+        ds = DeviceScene.from_scene(scene)
+        wide = shadow_fast.default_tables(
+            DEFAULT_CONFIG, max_candidates=1024)._replace(sz_lo=-22)
+        assert wide.sz_hi - wide.sz_lo > 31
+        a_def = make_anim(scene, batched=True)
+        a_wide = make_anim(scene, batched=True, shadow_tables=wide)
+        players, lights = sweep(a_def, scene, 2)
+        f_def = np.asarray(a_def.render_states(ds, players, lights))
+        f_wide = np.asarray(a_wide.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_wide, f_def)
 
     def test_single_frame_f1_route(self):
         # DeferredRenderer.render reroutes big frames through the batched
