@@ -116,3 +116,83 @@ class TestDirectionalLight:
         # dot == 1 -> brightness 1 -> full palette color on unshadowed tops
         lit_frac = (frame[..., 0][top] == colors[top]).mean()
         assert lit_frac > 0.5
+
+
+class TestDirectionalIntervals:
+    """Unit-level validation of the extended-start-space interval argument
+    (ops/shadow_dir.py module docstring): within one start bin each
+    light-bin axis takes at most VX/VY/VZ consecutive values, and the
+    variant decomposition reconstructs every pixel's exact light bin."""
+
+    def test_variant_decomposition_reconstructs_light_bins(self):
+        from pixel_art_raytracer_tpu.ops import shadow_dir
+        from pixel_art_raytracer_tpu.ops import shadow_fast
+        from pixel_art_raytracer_tpu.ops.cstyle import c_div
+
+        cfg = SMALL
+        bs = cfg.bin_size
+        tables = shadow_fast.default_tables(cfg)
+        rng = np.random.default_rng(7)
+        dirs = np.concatenate([
+            np.eye(3, dtype=np.float32),
+            -np.eye(3, dtype=np.float32),
+            rng.uniform(-1, 1, (24, 3)).astype(np.float32),
+        ])
+        dirs = dirs[np.abs(dirs).sum(axis=1) > 1e-3]
+
+        # Dense (wy, wz) sweep over values a hit G-buffer can carry: the
+        # oblique invariant wy + wz == screen_j bounds the sum to the
+        # screen row range (background pixels carry wy == wz == 0 and
+        # route through t_bg, not pixel_rows); wz may be negative
+        # (sz_lo < 0).
+        H = cfg.view_height
+        wys = np.arange(0, H + 1, dtype=np.int32)
+        wzs = np.arange(-bs, cfg.view_length + bs, dtype=np.int32)
+        y_g, z_g = (a.reshape(-1) for a in np.meshgrid(wys, wzs))
+        hit = (y_g + z_g >= 1) & (y_g + z_g < H)
+        y_g, z_g = y_g[hit], z_g[hit]
+        y_j = jnp.asarray(y_g)[:, None]
+        z_j = jnp.asarray(z_g)[:, None]
+
+        for d in dirs:
+            tl, inv, K = shadow_dir.direction_constants(jnp.asarray(d), cfg)
+            K_np = tuple(int(k) for k in K)
+            mx, my, mz = (np.asarray(a) for a in
+                          shadow_dir.axis_bases(K, cfg, tables))
+
+            # Per-pixel y/z variants: the clip in pixel_rows must never
+            # bind for in-range starts, and base + variant must equal the
+            # true per-pixel light bin (what the scan path marches toward).
+            ez, rbz = (np.asarray(a)[:, 0] for a in shadow_dir.pixel_rows(
+                y_j, z_j, K, cfg, tables))
+            lbx_t, lby_t, lbz_t = (np.asarray(a)[:, 0] for a in
+                                   shadow_dir.pixel_light_bins(
+                                       y_j, z_j, K, cfg))
+            jp = cfg.view_height - y_g - z_g
+            sy = np.trunc(jp / bs).astype(np.int64)
+            szi = rbz - tables.sz_lo
+            in_range = (szi >= 0) & (szi < tables.sz_hi - tables.sz_lo)
+            sy_ok = (sy >= 0) & (sy <= cfg.hash_height)
+            sel = in_range & sy_ok
+            vz = ez % shadow_dir.VZ
+            vy = (ez // shadow_dir.VZ) - szi * shadow_dir.VY
+            assert ((vy >= 0) & (vy < shadow_dir.VY))[sel].all()
+            assert ((vz >= 0) & (vz < shadow_dir.VZ))[sel].all()
+            np.testing.assert_array_equal((my[sy] + vy)[sel], lby_t[sel])
+            np.testing.assert_array_equal((mz[szi] + vz)[sel], lbz_t[sel])
+
+            # Per-lane x variants.
+            w_pad = 128
+            rows, sel_m = shadow_dir.lane_rows_and_matrix(K[0], cfg, w_pad)
+            rows = np.asarray(rows)
+            lanes = np.arange(cfg.view_width)
+            sx = np.minimum(lanes // bs, cfg.hash_width - 1)
+            vx = rows[lanes] - sx * shadow_dir.VX
+            assert ((vx >= 0) & (vx < shadow_dir.VX)).all()
+            lbx_true = np.asarray(c_div(jnp.asarray(lanes, jnp.int32)
+                                        + K_np[0], bs))
+            np.testing.assert_array_equal(mx[sx] + vx, lbx_true)
+            # The selection matrix is one-hot exactly on view lanes.
+            sel_np = np.asarray(sel_m)
+            assert (sel_np[:, :cfg.view_width].sum(axis=0) == 1).all()
+            assert (sel_np[:, cfg.view_width:] == 0).all()
