@@ -54,6 +54,7 @@ class TestBatchedParity:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
 
+    @pytest.mark.slow
     def test_multi_light_batched(self):
         # (F, L, 3) lights: the batched pipeline runs its shadow phases per
         # light and accumulates diffuse over the shared ambient base — must
@@ -156,6 +157,7 @@ class TestBatchedParity:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
 
+    @pytest.mark.slow
     def test_guard_reroutes_far_light_batch(self):
         # One frame's light is far outside the grid: the batch-level guard
         # must reroute to the exact dynamic march and still match the scan
@@ -216,6 +218,7 @@ class TestBatchedParity:
         flipped = np.asarray(a2.render_states(ds, players, lights))
         np.testing.assert_array_equal(flipped, base)
 
+    @pytest.mark.slow
     def test_packed_params_match_unpacked(self):
         # Bit-packed candidate parameter tables (wordent + 10-bit box
         # fields, shadow_pallas.candidate_param_tables_packed) are a pure
@@ -350,6 +353,7 @@ class TestTraceLaneTiling:
 
 
 class TestPackedPickBounds:
+    @pytest.mark.slow
     def test_out_of_bounds_atlas_uses_unpacked_kernel(self):
         # A sprite depth >= 32 exceeds the packed-pick sdep field, so
         # trace_packed must gate off and the unpacked kernel still renders

@@ -58,7 +58,11 @@ class TestShardedRender:
         assert mesh.axis_names == ("frames", "rows")
         assert mesh.devices.shape[0] * mesh.devices.shape[1] == 8
 
+    @pytest.mark.slow
     def test_shardmap_fast_path_matches(self):
+        # (slow tier: the driver's dryrun_multichip gate runs this same
+        # shard_map fast path every round; test_matches_unsharded keeps
+        # the sharded-render parity claim in the default tier.)
         """The flagship Pallas kernels (trace + shadow) sharded over a
         (4 frames x 2 rows) mesh via shard_map: equal to single-device."""
         from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
