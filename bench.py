@@ -76,6 +76,33 @@ def time_runs(fn, *args, iters: int = 3) -> float:
     return best
 
 
+def _require_device(timeout_s: int = 300) -> None:
+    """Fail loudly if the backend can't supply a device within timeout_s.
+
+    jax.devices() on the remote ("axon") backend BLOCKS *inside C*
+    (make_c_api_client) while the tunnel claims a chip — a downed tunnel
+    would hang the bench forever, and an in-process SIGALRM can't
+    interrupt it (Python signal handlers are deferred while the main
+    thread is in a C call).  Probe in a subprocess with a hard timeout
+    instead; the probe's claim is released when it exits."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench: no jax device within {timeout_s}s — TPU tunnel "
+            "down?  (probe subprocess hung in the backend claim loop)")
+    if proc.returncode != 0:
+        raise SystemExit(
+            f"bench: device probe failed rc={proc.returncode}:\n"
+            f"{proc.stderr.strip()[-500:]}")
+    print(f"# device platform: {proc.stdout.strip()}", file=sys.stderr)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -99,6 +126,10 @@ def main() -> None:
     # Baseline first: the single-thread C++ measurement needs an idle host
     # (the TPU client's dispatch threads slow it 2x, inflating our ratio).
     baseline = measure_cpp_baseline(scene, light, config)
+    # Device probe AFTER the baseline (the TPU client's dispatch threads
+    # contend the single-thread C++ measurement), bounded so a downed
+    # tunnel errors out instead of hanging the bench forever.
+    _require_device()
     tables = shadow_fast.derive_tables(config, scene)
     renderer = DeferredRenderer(config, shadow_impl="pallas",
                                 trace_impl="auto", shadow_tables=tables)
