@@ -77,30 +77,13 @@ def time_runs(fn, *args, iters: int = 3) -> float:
 
 
 def _require_device(timeout_s: int = 300) -> None:
-    """Fail loudly if the backend can't supply a device within timeout_s.
+    """Fail loudly if the backend can't supply a device within timeout_s
+    (a downed tunnel otherwise hangs the bench forever — see
+    pixel_art_raytracer_tpu/utils/device.py)."""
+    from pixel_art_raytracer_tpu.utils.device import require_device
 
-    jax.devices() on the remote ("axon") backend BLOCKS *inside C*
-    (make_c_api_client) while the tunnel claims a chip — a downed tunnel
-    would hang the bench forever, and an in-process SIGALRM can't
-    interrupt it (Python signal handlers are deferred while the main
-    thread is in a C call).  Probe in a subprocess with a hard timeout
-    instead; the probe's claim is released when it exits."""
-    import subprocess
-
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        raise SystemExit(
-            f"bench: no jax device within {timeout_s}s — TPU tunnel "
-            "down?  (probe subprocess hung in the backend claim loop)")
-    if proc.returncode != 0:
-        raise SystemExit(
-            f"bench: device probe failed rc={proc.returncode}:\n"
-            f"{proc.stderr.strip()[-500:]}")
-    print(f"# device platform: {proc.stdout.strip()}", file=sys.stderr)
+    platform = require_device(timeout_s)
+    print(f"# device platform: {platform}", file=sys.stderr)
 
 
 def main() -> None:

@@ -19,6 +19,10 @@ import jax.numpy as jnp
 
 
 def main():
+    from pixel_art_raytracer_tpu.utils.device import require_device
+
+    print(f"backend: {require_device()}")
+
     from pixel_art_raytracer_tpu.config import DEFAULT_CONFIG as cfg
     from pixel_art_raytracer_tpu.scene import graybox_world, default_light
     from pixel_art_raytracer_tpu import oracle
