@@ -98,3 +98,27 @@ class TestMetrics:
         assert s.rays_per_frame == 2 * 320 * 480
         assert abs(s.mrays_per_sec - 3.072) < 1e-6
         assert "mrays_per_sec" in s.to_json()
+
+
+class TestDeviceProbe:
+    def test_require_device_cpu(self, monkeypatch):
+        # The bounded subprocess probe (utils/device.py) must succeed on
+        # the CPU backend; a downed remote tunnel instead raises
+        # SystemExit after the timeout (not testable here).  The probe
+        # subprocess reads the ENV (conftest's in-process platform switch
+        # doesn't reach it), so pin it to cpu explicitly.
+        import os
+
+        from pixel_art_raytracer_tpu.utils.device import require_device
+
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        # The ambient sitecustomize (axon_site on PYTHONPATH) re-registers
+        # the remote backend inside the subprocess regardless of
+        # JAX_PLATFORMS; strip it so this unit test never touches the
+        # tunnel.
+        pp = os.pathsep.join(
+            p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon_site" not in p)
+        monkeypatch.setenv("PYTHONPATH", pp)
+        monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+        assert require_device(timeout_s=120) == "cpu"
