@@ -128,13 +128,22 @@ class AnimationRenderer:
         # from the runtime max(counts) guard either way — a frame beyond
         # the bound reroutes to the full-cap kernel); graybox: 6+1=7 of 8
         # (-12.5% trace rows).  None = full capacity.
+        #
+        # DEFAULT OFF since round 3: with whole-bin-row trace blocks
+        # (TR=40) and the static field table, an interleaved A/B measured
+        # the compacted tables SLOWER (cap=7 0.866 vs cap=8/off 0.801
+        # ms/frame full-pipeline, F=64 graybox) — the narrower table
+        # slices no longer pay for the extra prep slicing.  Opt back in
+        # via enable_slot_compaction() for capacity-bound scenes where
+        # the smaller NC makes a kernel layout feasible at all.
         self.trace_slot_cap = None
+        self._derived_slot_cap = None
         if static_bins is not None:
             cap = self.config.bin_capacity
             smax = int((np.asarray(static_bins.static_total)
                         & (cap - 1)).max())
             sc = min(cap, smax + static_bins.n_dynamic)
-            self.trace_slot_cap = sc if sc < cap else None
+            self._derived_slot_cap = sc if sc < cap else None
         self._render_states_jit = jax.jit(
             self._render_states, static_argnames=("directional",))
 
@@ -162,6 +171,15 @@ class AnimationRenderer:
             if vmem <= 12 * 2 ** 20:
                 best = R
         return best
+
+    def enable_slot_compaction(self) -> "AnimationRenderer":
+        """Opt back into structured trace slot compaction with the bound
+        derived at construction (see the constructor note: measured slower
+        than full capacity on graybox since the whole-bin-row trace
+        blocks, but the smaller candidate-row count can matter for
+        capacity-bound scenes)."""
+        self.trace_slot_cap = self._derived_slot_cap
+        return self
 
     def enable_trace_compaction(self) -> "AnimationRenderer":
         """Derive the column-compaction bound from the static bin cache:

@@ -374,20 +374,46 @@ def lane_member_tables(member_words, config: RenderConfig,
 
 # Timing-only ablation hook (tools/prof_shadow_ablate.py): "noslab" skips
 # the slab test (hit=member), "nomember" skips the bitmap read (member=
-# always true).  WRONG RESULTS — never set outside profiling.
+# always true), "noloads" replaces every per-candidate scalar load with
+# constants (bounds the scalar-load cost), "nobody" strips the visit to
+# the list load plus one vector op (bounds the loop/issue overhead),
+# "notrow" swaps the t_row window for an 8-row dummy (bounds the
+# membership-table DMA cost; requires bitmap_ondemand).
+# WRONG RESULTS — never set outside profiling.
 _ablate = None
+
+# Default for ``shadow_call_batched(bitmap_ondemand=None)``: lazy per-word
+# bitmap tiles built inside the word-change refresh (exact either way;
+# profiling tools flip this to A/B both compiled variants).  Interleaved
+# A/B on v5e graybox (F=64, R=40/G=2): med 0.867 ms/f lazy vs 0.862
+# prebuilt — neutral, and the lazy build deletes the (n_words+1, R, gw)
+# VMEM scratch (~1 MB at R=40), so it stays the default.
+BITMAP_ONDEMAND = True
+
+# Default frames-per-grid-step cap for ``shadow_call_batched``.  The
+# hypothesis was that batching frames into one grid step amortises the
+# per-step fixed cost (the kernel has ~17 operand windows; in-kernel
+# ablations bound the body at only ~1/3 of the stage) — but the
+# interleaved sweep MEASURED IT SLOWER: fpb=1 0.840 vs fpb=4 0.875 vs
+# fpb=8 0.874 ms/f full-pipeline at F=64 (the 4x-unrolled kernel body
+# and coarser DMA pipelining eat the step savings).  Default stays 1;
+# the mechanism is kept (tested, exact) for re-measurement on hardware
+# with different step overheads.
+FRAMES_PER_BLOCK = 1
 
 
 def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
                    box_ref,
                    centi_ref, trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref,
                    oz_ref, ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref,
-                   bitmap_scr, wcur_scr,
-                   *, w_pad: int, rows: int, n_words: int, n_sz: int,
+                   *scratch,
+                   w_pad: int, rows: int, n_words: int, n_sz: int,
                    lane_groups: int = 1, chunk: int = 8,
-                   saturate: bool = False, packed_params: bool = False):
-    """Row-block body on a (frames, row_blocks) grid — every block carries a
-    leading frame dim of 1, so one launch shades a whole animation batch.
+                   saturate: bool = False, packed_params: bool = False,
+                   bitmap_ondemand: bool = True, frames: int = 1):
+    """Row-block body on a (frame_blocks, row_blocks) grid — every block
+    carries a leading frame dim of ``frames``, so one launch shades a whole
+    animation batch and each grid step shades ``frames`` frames' tiles.
     Per-block pruned candidate counts, flat-bin ids, and the pruned index
     lists stream through blocked SMEM inputs (whole SMEM tables would be
     buffered per grid step, blowing the 1 MB budget); box corners / entity
@@ -396,6 +422,19 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
     ``lane_groups`` > 1 splits the block into that many 128-multiple lane
     tiles, each streaming its own (smaller) pruned candidate list — the
     vectorizable form of per-corridor candidate pruning (VERDICT #4).
+
+    ``frames`` > 1 amortises the per-grid-step fixed cost (the kernel has
+    ~17 operand windows; an interleaved ablation put the step overhead at
+    ~3 us — comparable to a whole tile's candidate work) over several
+    frames' tiles: same bytes move, 1/frames as many grid steps.
+
+    ``bitmap_ondemand``: build each membership word's (R, gw) pixel tile
+    lazily inside the word-change refresh (a tile's candidates touch only
+    ~half the words, and the lazy build replaces the word-cache's dynamic
+    multi-vreg ``bitmap_scr[word]`` read with cheap single-row table
+    reads) instead of prebuilding all ``n_words`` tiles up front.  Exact
+    either way — the refresh reproduces exactly the select chain the
+    prebuild runs for that word.
     """
     block = pl.program_id(1)
     g = pl.program_id(2)
@@ -409,38 +448,72 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
 
     lane = (jax.lax.broadcasted_iota(jnp.int32, (R, gw), 1) + g * gw)
     ox = lane.astype(jnp.float32)
-    oy = oy_ref[0]
-    oz = oz_ref[0]
-    ivx = ivx_ref[0]
-    ivy = ivy_ref[0]
-    ivz = ivz_ref[0]
-    ent = ent_ref[0]
-    szidx = szidx_ref[0]
-    bg = bg_ref[0] > 0
+    for fb in range(frames):
+        _shadow_frame_body(
+            fb, block, g, list_row if packed_params else None, ox,
+            counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
+            box_ref, centi_ref, trow_ref, tbg_ref, szidx_ref, bg_ref,
+            oy_ref, oz_ref, ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref,
+            scratch, w_pad=w_pad, rows=R, n_words=n_words, n_sz=n_sz,
+            lane_groups=G, chunk=chunk, saturate=saturate,
+            packed_params=packed_params, bitmap_ondemand=bitmap_ondemand)
 
-    # Build this tile's per-pixel membership bitmap in VMEM: select the
-    # lane-vector of words by each pixel's sz (or the background row).
-    # A block's pixels span only a few of the n_sz table rows (wy+wz is
-    # near-constant within a bin row), so the select chain runs a dynamic
-    # fori_loop over the block's actual [sz_lo, sz_hi) range (from SMEM)
-    # instead of all n_sz cases statically.
-    for w in range(n_words):
-        bitmap_scr[w] = jnp.where(bg, tbg_ref[0, w:w + 1, :], jnp.uint32(0))
-    # Dedicated always-zero word: padded/invalid candidates index it.
-    bitmap_scr[n_words] = jnp.zeros((R, gw), jnp.uint32)
 
-    sz_lo = szrange_ref[0, 0, 2 * block]
-    sz_hi = szrange_ref[0, 0, 2 * block + 1]
+def _shadow_frame_body(fb, block, g, list_row, ox,
+                       counts_ref, szrange_ref, cword_ref, cmask_ref,
+                       lists_ref, box_ref, centi_ref, trow_ref, tbg_ref,
+                       szidx_ref, bg_ref, oy_ref, oz_ref, ivx_ref, ivy_ref,
+                       ivz_ref, ent_ref, out_ref, scratch,
+                       *, w_pad: int, rows: int, n_words: int, n_sz: int,
+                       lane_groups: int, chunk: int, saturate: bool,
+                       packed_params: bool, bitmap_ondemand: bool):
+    """One frame's tile of the shadow kernel body (``fb`` indexes the
+    frame within the grid step's frame block)."""
+    if _ablate == "empty":
+        # Pure floor bound: same grid + operand windows, no kernel work.
+        out_ref[fb] = jnp.ones(out_ref.shape[1:], jnp.int32)
+        return
+    if bitmap_ondemand:
+        (wcur_scr,) = scratch
+    else:
+        bitmap_scr, wcur_scr = scratch
+    R = rows
+    G = lane_groups
+    gw = w_pad // G
+    oy = oy_ref[fb]
+    oz = oz_ref[fb]
+    ivx = ivx_ref[fb]
+    ivy = ivy_ref[fb]
+    ivz = ivz_ref[fb]
+    ent = ent_ref[fb]
+    szidx = szidx_ref[fb]
+    bg = bg_ref[fb] > 0
+
+    sz_lo = szrange_ref[fb, 0, 2 * block]
+    sz_hi = szrange_ref[fb, 0, 2 * block + 1]
     notbg = ~bg
 
-    def sz_body(s, _):
-        mask = notbg & (szidx == s)
+    if not bitmap_ondemand:
+        # Build this tile's per-pixel membership bitmap in VMEM: select the
+        # lane-vector of words by each pixel's sz (or the background row).
+        # A block's pixels span only a few of the n_sz table rows (wy+wz is
+        # near-constant within a bin row), so the select chain runs a
+        # dynamic fori_loop over the block's actual [sz_lo, sz_hi) range
+        # (from SMEM) instead of all n_sz cases statically.
         for w in range(n_words):
-            rowvec = trow_ref[0, 0, pl.ds(s * n_words + w, 1), :]
-            bitmap_scr[w] = jnp.where(mask, rowvec, bitmap_scr[w])
-        return _
+            bitmap_scr[w] = jnp.where(bg, tbg_ref[fb, w:w + 1, :],
+                                      jnp.uint32(0))
+        # Dedicated always-zero word: padded/invalid candidates index it.
+        bitmap_scr[n_words] = jnp.zeros((R, gw), jnp.uint32)
 
-    jax.lax.fori_loop(sz_lo, sz_hi, sz_body, 0)
+        def sz_body(s, _):
+            mask = notbg & (szidx == s)
+            for w in range(n_words):
+                rowvec = trow_ref[fb, 0, pl.ds(s * n_words + w, 1), :]
+                bitmap_scr[w] = jnp.where(mask, rowvec, bitmap_scr[w])
+            return _
+
+        jax.lax.fori_loop(sz_lo, sz_hi, sz_body, 0)
 
     def chunk_body(i, carry):
         # Candidates stream in unrolled chunks through this tile's *pruned*
@@ -454,7 +527,20 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
 
         for cc in range(chunk):
             m = c0 + cc
-            if packed_params:
+            if _ablate == "nobody":
+                # Loop skeleton only: list load + one vector op per visit.
+                c = lists_ref[fb, 0, 0, m // 128, m % 128]
+                occ = occ | (ent == c).astype(jnp.int32)
+                continue
+            if _ablate == "noloads":
+                # Full vector work, zero scalar loads: constant params.
+                c = m
+                word_c = jnp.int32(0)
+                mask_c = jnp.int32(1)
+                px = py = pz = jnp.float32(-1.0)
+                qx = qy = qz = jnp.float32(1.0)
+                ent_c = jnp.int32(0)
+            elif packed_params:
                 # Flat-minor SMEM tables + bit-packed params: 5 scalar
                 # loads per candidate (vs 10) with single-op addressing —
                 # the ablation profile shows the kernel is fixed-cost
@@ -464,13 +550,13 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
                 # box_pack_ok; out-of-range scenes use the unpacked
                 # layout).  The lists block holds an 8-tile band; this
                 # tile's row is (block*G + g) % band.
-                c = lists_ref[0, list_row, m]
-                we = cword_ref[0, 0, c]
+                c = lists_ref[fb, list_row, m]
+                we = cword_ref[fb, 0, c]
                 word_c = we >> 18
                 ent_c = we & jnp.int32(0x3ffff)
-                mask_c = cmask_ref[0, 0, c]
-                ba = box_ref[0, 0, c]
-                bb = centi_ref[0, 0, c]
+                mask_c = cmask_ref[fb, 0, c]
+                ba = box_ref[fb, 0, c]
+                bb = centi_ref[fb, 0, c]
                 px = ((ba & 1023) - 512).astype(jnp.float32)
                 py = (((ba >> 10) & 1023) - 512).astype(jnp.float32)
                 pz = ((ba >> 20) - 512).astype(jnp.float32)
@@ -478,9 +564,9 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
                 qy = (((bb >> 10) & 1023) - 512).astype(jnp.float32)
                 qz = ((bb >> 20) - 512).astype(jnp.float32)
             else:
-                c = lists_ref[0, 0, 0, m // 128, m % 128]
-                word_c = cword_ref[0, c // 128, c % 128]
-                mask_c = cmask_ref[0, c // 128, c % 128]
+                c = lists_ref[fb, 0, 0, m // 128, m % 128]
+                word_c = cword_ref[fb, c // 128, c % 128]
+                mask_c = cmask_ref[fb, c // 128, c % 128]
                 # Scalar loads from the SMEM tables: scalars broadcast
                 # freely into the [R, gw] vector math (vector extracts
                 # would need a both-dims broadcast, which Mosaic lacks).
@@ -489,13 +575,13 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
                 # fields share a row.
                 bq = c // 16
                 br = (c % 16) * 8
-                px = box_ref[0, bq, br]
-                py = box_ref[0, bq, br + 1]
-                pz = box_ref[0, bq, br + 2]
-                qx = box_ref[0, bq, br + 3]
-                qy = box_ref[0, bq, br + 4]
-                qz = box_ref[0, bq, br + 5]
-                ent_c = centi_ref[0, c // 128, c % 128]
+                px = box_ref[fb, bq, br]
+                py = box_ref[fb, bq, br + 1]
+                pz = box_ref[fb, bq, br + 2]
+                qx = box_ref[fb, bq, br + 3]
+                qy = box_ref[fb, bq, br + 4]
+                qz = box_ref[fb, bq, br + 5]
+                ent_c = centi_ref[fb, c // 128, c % 128]
 
             if _ablate == "nomember":
                 member = jnp.ones((R, gw), jnp.bool_)
@@ -511,7 +597,34 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
                 # bitmap_scr[word_c].
                 @pl.when(word_c != prev_word)
                 def _():
-                    wcur_scr[:] = bitmap_scr[word_c]
+                    if bitmap_ondemand:
+                        # Lazy build: reproduce the prebuild's select chain
+                        # for just this word.  Padded candidates (word_c ==
+                        # n_words, mask 0) clamp to a real word — their
+                        # member test is killed by the zero mask, so any
+                        # tile contents are fine.  Single-row table reads
+                        # at a dynamic index are cheap (1 x gw); the
+                        # prebuild era's dynamic bitmap_scr[word_c] read
+                        # moved a whole (R, gw) tile instead.
+                        wc = jnp.minimum(word_c, jnp.int32(n_words - 1))
+                        t = jnp.where(bg, tbg_ref[fb, pl.ds(wc, 1), :],
+                                      jnp.uint32(0))
+
+                        def sz_acc(s, t):
+                            # "notrow" ablation: the driver passes an
+                            # 8-row dummy t_row window — keep the loop and
+                            # dynamic-row-read structure, clamp the index.
+                            ridx = s * n_words + wc
+                            if _ablate == "notrow":
+                                ridx = ridx % 8
+                            rowvec = trow_ref[fb, 0, pl.ds(ridx, 1), :]
+                            return jnp.where(notbg & (szidx == s), rowvec,
+                                             t)
+
+                        wcur_scr[:] = jax.lax.fori_loop(sz_lo, sz_hi,
+                                                        sz_acc, t)
+                    else:
+                        wcur_scr[:] = bitmap_scr[word_c]
 
                 prev_word = word_c
                 w = wcur_scr[:]
@@ -546,7 +659,7 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
             occ = occ | occ_new.astype(jnp.int32)
         return occ, prev_word
 
-    n = counts_ref[0, 0, block * G + g]
+    n = counts_ref[fb, 0, block * G + g]
     occ0 = jnp.zeros((R, gw), jnp.int32)
     # prev_word starts at an impossible value so the first candidate
     # always stages its word.
@@ -572,7 +685,7 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
                                               (jnp.int32(0), carry0))
     else:
         occluded, _ = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
-    out_ref[0] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
+    out_ref[fb] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
 
 
 def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
@@ -584,8 +697,10 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                         lane_groups: int = 1,
                         chunk: int = 8,
                         saturate: bool = False,
-                        packed_params: bool = False) -> jax.Array:
-    """Launch the shadow kernel on a (frames, row_blocks) grid.
+                        packed_params: bool = False,
+                        bitmap_ondemand: bool | None = None,
+                        frames_per_block: int | None = None) -> jax.Array:
+    """Launch the shadow kernel on a (frame_blocks, row_blocks) grid.
 
     Every argument leads with the frame axis F (single-frame callers pass
     F=1); with ``lane_groups`` G > 1 each row block carries G per-lane-tile
@@ -604,7 +719,21 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     ``box_pack_ok``): cword := wordent (F, 1, M) i32, cmask (F, 1, M)
     i32, lists (F, NB, G, M) i32, box := boxa (F, 1, M) i32,
     centi := boxb (F, 1, M) i32.
+
+    ``bitmap_ondemand``: lazy per-word bitmap build inside the kernel's
+    word-change refresh (see ``_shadow_kernel``); None takes the module
+    default ``BITMAP_ONDEMAND`` (profiling tools flip it to A/B both
+    compiled variants).
+
+    ``frames_per_block``: frames shaded per grid step (must divide F).
+    The kernel's ~17 operand windows give each grid step a fixed cost
+    comparable to a whole tile's candidate work; batching frames into one
+    step amortises it (same bytes, 1/FB the steps).  None picks the
+    largest divisor of F up to the module default ``FRAMES_PER_BLOCK``
+    that fits the VMEM budget.
     """
+    if bitmap_ondemand is None:
+        bitmap_ondemand = BITMAP_ONDEMAND
     cfg = config
     F, H, w_pad = oy.shape
     R = rows_per_block
@@ -626,15 +755,28 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     assert w_pad % (G * 128) == 0, "lane groups must be 128-lane multiples"
 
     assert M % chunk == 0, "chunk must divide the candidate capacity"
-    kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
-                               n_words=n_words, n_sz=SZ, lane_groups=G,
-                               chunk=chunk, saturate=saturate,
-                               packed_params=packed_params)
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     gw = w_pad // G
 
+    # Per-step VMEM for one frame's windows (x2 for Mosaic's double
+    # buffering): 8 pixel inputs + the output block + the bin-row/bg
+    # membership tables.
+    frame_bytes = 2 * 4 * (9 * R * gw + (SZ + 1) * n_words * gw)
+    FB = frames_per_block
+    if FB is None:
+        FB = max(1, min(FRAMES_PER_BLOCK, (10 << 20) // frame_bytes))
+        while F % FB:
+            FB -= 1
+    assert F % FB == 0, "frames_per_block must divide the frame count"
+
+    kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
+                               n_words=n_words, n_sz=SZ, lane_groups=G,
+                               chunk=chunk, saturate=saturate,
+                               packed_params=packed_params,
+                               bitmap_ondemand=bitmap_ondemand, frames=FB)
+
     def pix():
-        return pl.BlockSpec((1, R, gw), lambda f, i, g: (f, i, g),
+        return pl.BlockSpec((FB, R, gw), lambda f, i, g: (f, i, g),
                             memory_space=pltpu.VMEM)
 
     if packed_params:
@@ -644,31 +786,31 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         # dim); the kernel indexes its tile's row with (i*G + g) % 8.
         lb = 8 if (NB * G) % 8 == 0 else NB * G
         param_specs = [
-            pl.BlockSpec((1, 1, M), lambda f, i, g: (f, 0, 0),
+            pl.BlockSpec((FB, 1, M), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # wordent
-            pl.BlockSpec((1, 1, M), lambda f, i, g: (f, 0, 0),
+            pl.BlockSpec((FB, 1, M), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # candidate bin masks
-            pl.BlockSpec((1, lb, M),
+            pl.BlockSpec((FB, lb, M),
                          lambda f, i, g: (f, (i * G + g) // lb, 0),
                          memory_space=pltpu.SMEM),    # pruned index lists
-            pl.BlockSpec((1, 1, M), lambda f, i, g: (f, 0, 0),
+            pl.BlockSpec((FB, 1, M), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # boxa
-            pl.BlockSpec((1, 1, M), lambda f, i, g: (f, 0, 0),
+            pl.BlockSpec((FB, 1, M), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # boxb
         ]
         param_ops = (cword, cmask, lists.reshape(F, NB * G, M), box, centi)
     else:
         param_specs = [
-            pl.BlockSpec((1, Mq, 128), lambda f, i, g: (f, 0, 0),
+            pl.BlockSpec((FB, Mq, 128), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # candidate word ids
-            pl.BlockSpec((1, Mq, 128), lambda f, i, g: (f, 0, 0),
+            pl.BlockSpec((FB, Mq, 128), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # candidate bin masks
-            pl.BlockSpec((1, 1, 1, Mq, 128),
+            pl.BlockSpec((FB, 1, 1, Mq, 128),
                          lambda f, i, g: (f, i, g, 0, 0),
                          memory_space=pltpu.SMEM),    # pruned index lists
-            pl.BlockSpec((1, M // 16, 128), lambda f, i, g: (f, 0, 0),
+            pl.BlockSpec((FB, M // 16, 128), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # box corners (packed)
-            pl.BlockSpec((1, Mq, 128), lambda f, i, g: (f, 0, 0),
+            pl.BlockSpec((FB, Mq, 128), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # candidate entity ids
         ]
         param_ops = (cword, cmask, lists.reshape(F, NB, G, Mq, 128), box,
@@ -679,27 +821,37 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     # SMEM specs only buffer their few-KB block — counts, bin ids, and the
     # per-tile pruned candidate list use that.  Lane groups ride the third
     # grid axis: every pixel operand is lane-blocked to the tile.
+    if _ablate == "notrow":
+        # Timing-only: shrink the t_row window to an 8-row dummy to bound
+        # the membership-table DMA share of the stage.
+        assert bitmap_ondemand
+        t_row = t_row[:, :, :8]
+        SZN = 8
+    else:
+        SZN = SZ * n_words
     grid_spec = pl.GridSpec(
-        grid=(F, NB, G),
+        grid=(F // FB, NB, G),
         in_specs=[
             # The unit middle axis keeps the SMEM block's trailing dims
             # equal to the array's (the TPU lowering requires it).
-            pl.BlockSpec((1, 1, NB * G), lambda f, i, g: (f, 0, 0),
+            pl.BlockSpec((FB, 1, NB * G), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # per-(block,g) counts
-            pl.BlockSpec((1, 1, NB * 2), lambda f, i, g: (f, 0, 0),
+            pl.BlockSpec((FB, 1, NB * 2), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # per-block sz range
             *param_specs,
-            pl.BlockSpec((1, 1, SZ * n_words, gw),
+            pl.BlockSpec((FB, 1, SZN, gw),
                          lambda f, i, g: (f, i // bpr, 0, g),
                          memory_space=pltpu.VMEM),    # t_row (per bin row)
-            pl.BlockSpec((1, n_words, gw), lambda f, i, g: (f, 0, g),
+            pl.BlockSpec((FB, n_words, gw), lambda f, i, g: (f, 0, g),
                          memory_space=pltpu.VMEM),    # t_bg
             pix(), pix(), pix(), pix(), pix(), pix(), pix(), pix(),
         ],
-        out_specs=pl.BlockSpec((1, R, gw), lambda f, i, g: (f, i, g),
+        out_specs=pl.BlockSpec((FB, R, gw), lambda f, i, g: (f, i, g),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n_words + 1, R, gw), jnp.uint32),
-                        pltpu.VMEM((R, gw), jnp.uint32)],
+        scratch_shapes=(
+            ([] if bitmap_ondemand
+             else [pltpu.VMEM((n_words + 1, R, gw), jnp.uint32)])
+            + [pltpu.VMEM((R, gw), jnp.uint32)]),
     )
     return pl.pallas_call(
         kernel,

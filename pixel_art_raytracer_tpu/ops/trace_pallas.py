@@ -42,6 +42,22 @@ from .trace import GBufferArrays
 # Sentinel below any real key (real keys are >= -2^29 for sane scenes).
 KEY_MIN = -(2 ** 30)
 
+# Ramp-atlas kernels compute per-row keys with running carries instead of
+# fresh multiply chains (see _trace_kernel phase 1) — exact either way;
+# profiling tools flip this to A/B both compiled variants.  Interleaved
+# A/B on v5e graybox (F=64, R=40/G=2/TR=40): med 0.823 ms/f incremental
+# vs 0.811 direct — speed-neutral (the kernel is not ALU-issue bound at
+# these shapes).  The incremental form stays the default for its VMEM
+# footprint: the running carries keep fewer block-wide temporaries live,
+# and the direct variant OOM'd Mosaic's 16 MB scoped-vmem stack by ~2 MB
+# on the full-capacity (64-candidate) whole-bin-row kernel that rides
+# every production program as the slot-overflow fallback branch.
+INCREMENTAL_KEYS = True
+
+# Frames per trace-kernel grid step (see shadow_pallas.FRAMES_PER_BLOCK
+# for the measured-negative story — default 1, kept for re-measurement).
+TRACE_FRAMES_PER_BLOCK = 1
+
 
 def ramp_depth_params(depth: np.ndarray):
     """Fit per-sprite (d0, slope) with depth[r, c] == max(0, d0 - slope*r).
@@ -159,6 +175,13 @@ def color_rects(color: np.ndarray, max_rects: int = 32):
 # Profiling hook (tools/prof_texp.py): "small" returns the pre-expansion
 # field stack, "mm" the f32 matmul output before the int cast.
 _texp_upto = None
+
+# Timing-only kernel ablation hook (tools/prof_shadow_ablate.py --kernel
+# trace): "nop3" skips the phase-3 winner-field resolve, "nobinmax" skips
+# the phase-1 per-(bin, row) maxima writes, "noee" forces the pure-max
+# phase-2 scan (no early-exit bookkeeping).  WRONG RESULTS — never set
+# outside profiling.
+_ablate = None
 
 
 def _candidate_fields(p, e, sid, ent_ids, d0, slope, field_pack: bool):
@@ -383,10 +406,12 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
                   rows_per_block: int, n_cands: int, nc2: int, w_pad: int,
                   segments=None, compact: bool = False,
                   packed_picks: bool = False,
-                  packed_fields: bool = False):
-    """Row-block body.  Blocks carry a leading frame dim of 1: the grid is
-    (frames, row_blocks) so one launch traces a whole animation batch
-    (frames=1 for single-frame callers).
+                  packed_fields: bool = False, frames: int = 1):
+    """Row-block body.  Blocks carry a leading frame dim of ``frames``: the
+    grid is (frame_blocks, row_blocks, lane_tiles), so one launch traces a
+    whole animation batch and each grid step traces ``frames`` frames'
+    blocks (frames=1 for single-frame callers; > 1 amortises the
+    per-grid-step fixed cost — see shadow_pallas.FRAMES_PER_BLOCK).
 
     ``compact``: the candidate rows are column-compacted live entries (an
     extra bin-z field rides the table); per-bin maxima and empty flags use
@@ -398,12 +423,40 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
     unpacks.  Callers must prove the bounds host-side (ent < 2^18,
     sid < 8, sdep < 32, |pz| and |rowbase| < 2^14); scenes outside them
     use the unpacked kernel."""
+    # w_pad here is the LANE-TILE width (the full padded width divided by
+    # the lane-tile grid axis); lane_i carries the global lane index.
+    wt0 = pl.program_id(2) * w_pad
+    lane_i = (jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 1)
+              + wt0)
+    cand_i = jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 0)
+    for fb in range(frames):
+        _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs,
+                          config=config, rows_per_block=rows_per_block,
+                          n_cands=n_cands, nc2=nc2, segments=segments,
+                          compact=compact, packed_picks=packed_picks,
+                          packed_fields=packed_fields)
+
+
+def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
+                      config, rows_per_block: int, n_cands: int, nc2: int,
+                      segments, compact: bool, packed_picks: bool,
+                      packed_fields: bool):
+    """One frame's block of the trace kernel body (``fb`` indexes the
+    frame within the grid step's frame block)."""
     if packed_picks:
         (key_ref, a_ref, b_ref, c_ref,
          mkey_scr, empty_scr, keys_scr) = refs
     else:
         (key_ref, ent_ref, sdep_ref, pz_ref, rb_ref, px_ref, sid_ref,
          mkey_scr, empty_scr, keys_scr) = refs
+    if _ablate == "empty":
+        # Pure floor bound: same grid + operand windows, no kernel work.
+        outs = ((key_ref, a_ref, b_ref, c_ref) if packed_picks
+                else (key_ref, ent_ref, sdep_ref, pz_ref, rb_ref, px_ref,
+                      sid_ref))
+        for ref in outs:
+            ref[fb] = jnp.full(ref.shape[1:], jnp.int32(KEY_MIN), jnp.int32)
+        return
     cfg = config
     HL = cfg.hash_length
     # Structured layouts carry n_cands = HL * cap rows (cap may be a
@@ -412,18 +465,11 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
     H = cfg.view_height
     R = rows_per_block
 
-    # w_pad here is the LANE-TILE width (the full padded width divided by
-    # the lane-tile grid axis); lane_i carries the global lane index.
-    wt0 = pl.program_id(2) * w_pad
-    lane_i = (jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 1)
-              + wt0)
-    cand_i = jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 0)
-
     if packed_fields:
         # Two packed rows (see _expand_tables field_pack): unpack once per
         # block — a handful of vector shifts amortised over all phases.
-        pa = tab_ref[0, 0, 0]
-        pb = tab_ref[0, 1, 0]
+        pa = tab_ref[fb, 0, 0]
+        pb = tab_ref[fb, 1, 0]
         valid = pa & 1
         fsid = (pa >> 1) & 7
         f6 = (pa >> 4) & 31
@@ -431,26 +477,26 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
         f5 = (pa >> 11) & 63
         f0 = (pb & 4095) - 2048
         f1 = (pb >> 12) - 2048
-        f2 = tab_ref[0, 2, 0]
-        f3 = tab_ref[0, 3, 0]
-        f4 = tab_ref[0, 4, 0]
-        fent = tab_ref[0, 5, 0]
-        fpz = tab_ref[0, 6, 0]
-        fbinz = tab_ref[0, 7, 0] if compact else None
+        f2 = tab_ref[fb, 2, 0]
+        f3 = tab_ref[fb, 3, 0]
+        f4 = tab_ref[fb, 4, 0]
+        fent = tab_ref[fb, 5, 0]
+        fpz = tab_ref[fb, 6, 0]
+        fbinz = tab_ref[fb, 7, 0] if compact else None
     else:
-        valid = tab_ref[0, 0, 0]
-        f0 = tab_ref[0, 1, 0]
-        f1 = tab_ref[0, 2, 0]
-        f2 = tab_ref[0, 3, 0]
-        f3 = tab_ref[0, 4, 0]
-        f4 = tab_ref[0, 5, 0]
-        f5 = tab_ref[0, 6, 0]
-        f6 = tab_ref[0, 7, 0]
-        f7 = tab_ref[0, 8, 0]
-        fent = tab_ref[0, 9, 0]
-        fpz = tab_ref[0, 10, 0]
-        fsid = tab_ref[0, 11, 0]
-        fbinz = tab_ref[0, 12, 0] if compact else None
+        valid = tab_ref[fb, 0, 0]
+        f0 = tab_ref[fb, 1, 0]
+        f1 = tab_ref[fb, 2, 0]
+        f2 = tab_ref[fb, 3, 0]
+        f3 = tab_ref[fb, 4, 0]
+        f4 = tab_ref[fb, 5, 0]
+        f5 = tab_ref[fb, 6, 0]
+        f6 = tab_ref[fb, 7, 0]
+        f7 = tab_ref[fb, 8, 0]
+        fent = tab_ref[fb, 9, 0]
+        fpz = tab_ref[fb, 10, 0]
+        fsid = tab_ref[fb, 11, 0]
+        fbinz = tab_ref[fb, 12, 0] if compact else None
 
     # Per-bin empty masks (jr-independent): row b holds bin b's emptiness.
     for b in range(HL):
@@ -501,9 +547,34 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
     # sprite-depth term is recomputed there instead (2 vector ops for ramp
     # atlases) — halving the stash is what lets whole-bin-row blocks
     # (rows_per_block=40) fit VMEM.
+    #
+    # Ramp atlases compute the key INCREMENTALLY across the unrolled rows:
+    # key(hit) = f4*nc2 + tie + min(0, (f5-row)*nc2) - max(0, (f6-f7*row)
+    # *nc2), and row advances by exactly 1 per jr — so the two inner
+    # affine terms ride running carries (en -= nc2, dn -= f7*nc2) instead
+    # of fresh multiply chains: 11 vector ops per row instead of 14, exact
+    # (integer adds), identical keys.
+    inc = INCREMENTAL_KEYS and segments is None
+    if inc:
+        key0 = f4 * nc2 + tie                     # row-independent part
+        row0v = f3 - (H - j0)                     # row at jr = 0
+        f7n = f7 * nc2
+        en = (f5 - row0v) * nc2
+        dn = (f6 - f7 * row0v) * nc2
     for jr in range(R):
-        key, sdep = cand_keys(jr)
+        if inc:
+            world_j = H - (j0 + jr)
+            hit = lane_ok & (world_j > f2) & (world_j <= f3)
+            key = jnp.where(
+                hit, key0 + jnp.minimum(0, en) - jnp.maximum(0, dn),
+                jnp.int32(KEY_MIN))
+            en = en - nc2
+            dn = dn - f7n
+        else:
+            key, _ = cand_keys(jr)
         keys_scr[jr * n_cands:(jr + 1) * n_cands] = key
+        if _ablate == "nobinmax":
+            continue
         for b in range(HL):
             if compact:
                 mb = jnp.max(jnp.where(fbinz == b, key, jnp.int32(KEY_MIN)),
@@ -514,11 +585,12 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
             mkey_scr[b * R + jr:b * R + jr + 1] = mb
 
     # Phase 2: early-exit scan over bins (quirk Q5), all jr rows at once.
-    total = jnp.full((R, w_pad), jnp.int32(KEY_MIN), jnp.int32)
-    counter = jnp.zeros((R, w_pad), jnp.int32)
+    wt = lane_i.shape[1]               # this grid step's lane-tile width
+    total = jnp.full((R, wt), jnp.int32(KEY_MIN), jnp.int32)
+    counter = jnp.zeros((R, wt), jnp.int32)
     for b in range(HL):
         m = mkey_scr[b * R:(b + 1) * R]
-        if cfg.early_exit:
+        if cfg.early_exit and _ablate != "noee":
             empty = empty_scr[b:b + 1] > 0
             use = counter < 2
             has = use & (m > total)
@@ -529,17 +601,35 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
         else:
             total = jnp.maximum(total, m)
 
-    key_ref[0] = total
+    key_ref[fb] = total
 
     # Phase 3: winner-field resolve (keys are unique, so a masked max over
     # candidates recovers each winner attribute) — saves the epilogue a
     # per-pixel gather per attribute.
+    if _ablate == "nop3":
+        for jr in range(R):
+            row = total[jr:jr + 1, :]
+            if packed_picks:
+                a_ref[fb, jr:jr + 1, :] = row
+                b_ref[fb, jr:jr + 1, :] = row
+                c_ref[fb, jr:jr + 1, :] = row
+            else:
+                for ref in (ent_ref, sdep_ref, pz_ref, rb_ref, px_ref,
+                            sid_ref):
+                    ref[fb, jr:jr + 1, :] = row
+        return
     if packed_picks:
         base_a = (fent * 8 + fsid) * 32                  # + sdep per row
         base_b = (fpz + 16384) * 32768 + (f3 + 16384)    # row-independent
+    if inc:
+        dd = f6 - f7 * row0v                 # running f6 - f7*row carry
     for jr in range(R):
         key = keys_scr[jr * n_cands:(jr + 1) * n_cands]
-        sdep = cand_sdep(jr)
+        if inc:
+            sdep = jnp.maximum(0, dd)
+            dd = dd - f7
+        else:
+            sdep = cand_sdep(jr)
         match = key == total[jr:jr + 1, :]      # at most one candidate true
 
         def pick(field):
@@ -547,23 +637,24 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
                            axis=0, keepdims=True)
 
         if packed_picks:
-            a_ref[0, jr:jr + 1, :] = pick(base_a + sdep)
-            b_ref[0, jr:jr + 1, :] = pick(base_b)
-            c_ref[0, jr:jr + 1, :] = pick(f0)
+            a_ref[fb, jr:jr + 1, :] = pick(base_a + sdep)
+            b_ref[fb, jr:jr + 1, :] = pick(base_b)
+            c_ref[fb, jr:jr + 1, :] = pick(f0)
         else:
-            ent_ref[0, jr:jr + 1, :] = pick(fent)
-            sdep_ref[0, jr:jr + 1, :] = pick(sdep)
-            pz_ref[0, jr:jr + 1, :] = pick(fpz)
-            rb_ref[0, jr:jr + 1, :] = pick(f3)
-            px_ref[0, jr:jr + 1, :] = pick(f0)
-            sid_ref[0, jr:jr + 1, :] = pick(fsid)
+            ent_ref[fb, jr:jr + 1, :] = pick(fent)
+            sdep_ref[fb, jr:jr + 1, :] = pick(sdep)
+            pz_ref[fb, jr:jr + 1, :] = pick(fpz)
+            rb_ref[fb, jr:jr + 1, :] = pick(f3)
+            px_ref[fb, jr:jr + 1, :] = pick(f0)
+            sid_ref[fb, jr:jr + 1, :] = pick(fsid)
 
 
 def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
                       rows_per_block: int = 8, w_pad: int | None = None,
                       segments=None, row0=None, n_rows: int | None = None,
                       packed_picks: bool = False,
-                      max_lane_tile: int = 1024):
+                      max_lane_tile: int = 1024,
+                      frames_per_block: int | None = None):
     """Run the kernel; returns per-pixel winning keys (n_rows, w_pad) int32.
 
     ``tables`` may carry a leading frame axis (F, n_fields, HH, NC, w_pad):
@@ -615,23 +706,42 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     bs = cfg.bin_size
     assert bs % R == 0, "rows_per_block must divide bin_size"
 
+    # Frames per grid step (see shadow_pallas.FRAMES_PER_BLOCK): the
+    # per-step fixed cost amortises over FB frames' blocks.  VMEM bound:
+    # double-buffered table + output windows scale with FB; the keys stash
+    # does not (frames run sequentially through it).
+    n_out = 4 if packed_picks else 7
+    step_bytes = 2 * 4 * (tables.shape[1] * n_cands * wt
+                          + (n_out + 1) * R * wt)
+    stash_bytes = 4 * wt * (R * n_cands + cfg.hash_length * (R + 1))
+    FB = frames_per_block
+    if FB is None:
+        # 10 MB budget of the 16 MB scoped-vmem limit: Mosaic's spill /
+        # liveness overhead on this kernel measured several MB (the
+        # direct-keys variant of the full-capacity fallback OOM'd at
+        # ~18 MB with ~8.5 MB of accounted windows).
+        FB = max(1, min(TRACE_FRAMES_PER_BLOCK,
+                        ((10 << 20) - stash_bytes) // step_bytes))
+        while F % FB:
+            FB -= 1
+    assert F % FB == 0, "frames_per_block must divide the frame count"
+
     kernel = functools.partial(_trace_kernel, config=cfg,
                                rows_per_block=R, n_cands=n_cands, nc2=nc2,
                                w_pad=wt, segments=segments,
                                compact=compact, packed_picks=packed_picks,
-                               packed_fields=packed_fields)
+                               packed_fields=packed_fields, frames=FB)
     # Interpreter mode on non-TPU backends (CPU tests validate the kernel
     # logic; compiled Mosaic runs on real TPUs).
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     out = jax.ShapeDtypeStruct((F, n_rows, w_pad), jnp.int32)
-    n_out = 4 if packed_picks else 7
-    spec = pl.BlockSpec((1, R, wt), lambda f, i, w, *_: (f, i, w),
+    spec = pl.BlockSpec((FB, R, wt), lambda f, i, w, *_: (f, i, w),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # row0
-        grid=(F, n_rows // R, WT),
+        grid=(F // FB, n_rows // R, WT),
         in_specs=[pl.BlockSpec(
-            (1, tables.shape[1], 1, n_cands, wt),
+            (FB, tables.shape[1], 1, n_cands, wt),
             lambda f, i, w, row0_ref: (f, 0, (row0_ref[0] + i * R) // bs,
                                        0, w),
             memory_space=pltpu.VMEM)],

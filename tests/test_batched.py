@@ -219,6 +219,51 @@ class TestBatchedParity:
         np.testing.assert_array_equal(flipped, base)
 
     @pytest.mark.slow
+    def test_frames_per_block_match_single(self, monkeypatch):
+        # Frame-blocked grid steps (FRAMES_PER_BLOCK > 1 batches several
+        # frames' tiles into one kernel grid step to amortise the
+        # per-step fixed cost) are a pure scheduling change: pixels must
+        # be identical to one-frame-per-step.
+        from pixel_art_raytracer_tpu.ops import shadow_pallas as sp
+
+        from pixel_art_raytracer_tpu.ops import trace_pallas as tp
+
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        a = make_anim(scene, batched=True)
+        players, lights = sweep(a, scene, 4)
+        base = np.asarray(a.render_states(ds, players, lights))  # FB=1
+
+        monkeypatch.setattr(sp, "FRAMES_PER_BLOCK", 4)
+        monkeypatch.setattr(tp, "TRACE_FRAMES_PER_BLOCK", 4)
+        a1 = make_anim(scene, batched=True)
+        blocked = np.asarray(a1.render_states(ds, players, lights))
+        np.testing.assert_array_equal(blocked, base)
+
+    @pytest.mark.slow
+    def test_kernel_variant_flags_match_defaults(self, monkeypatch):
+        # Measured-neutral kernel variants stay behind module flags so the
+        # profiling tools can re-A/B them on future hardware: the prebuilt
+        # (non-lazy) shadow bitmap scratch and the incremental trace-key
+        # carries must both produce identical pixels to the defaults.
+        from pixel_art_raytracer_tpu.ops import shadow_pallas as sp
+        from pixel_art_raytracer_tpu.ops import trace_pallas as tp
+
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        a = make_anim(scene, batched=True)
+        players, lights = sweep(a, scene, 2)
+        base = np.asarray(a.render_states(ds, players, lights))
+
+        monkeypatch.setattr(sp, "BITMAP_ONDEMAND",
+                            not sp.BITMAP_ONDEMAND)
+        monkeypatch.setattr(tp, "INCREMENTAL_KEYS",
+                            not tp.INCREMENTAL_KEYS)
+        a2 = make_anim(scene, batched=True)
+        flipped = np.asarray(a2.render_states(ds, players, lights))
+        np.testing.assert_array_equal(flipped, base)
+
+    @pytest.mark.slow
     def test_packed_params_match_unpacked(self):
         # Bit-packed candidate parameter tables (wordent + 10-bit box
         # fields, shadow_pallas.candidate_param_tables_packed) are a pure
@@ -474,6 +519,23 @@ class TestTileRelevance:
 
 
 class TestTraceCompaction:
+    @pytest.mark.slow
+    def test_slot_compaction_opt_in_parity(self):
+        # Slot compaction defaults OFF since round 3 (measured slower
+        # than full capacity with whole-bin-row trace blocks); the
+        # opt-in must still derive a real bound and stay pixel-exact.
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        a_def = make_anim(scene, batched=True)
+        assert a_def.trace_slot_cap is None
+        a_bat = make_anim(scene, batched=True).enable_slot_compaction()
+        if a_bat.trace_slot_cap is None:
+            pytest.skip("demo scene fills every slot; no bound to derive")
+        players, lights = sweep(a_def, scene, 2)
+        base = np.asarray(a_def.render_states(ds, players, lights))
+        capped = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(capped, base)
+
     @pytest.mark.slow
     def test_compact_bound_derived_and_parity(self):
         scene = demo_world(10)

@@ -53,6 +53,18 @@ def main() -> None:
                     help="force the unpacked shadow candidate params")
     ap.add_argument("--box-pack-sweep", action="store_true",
                     help="sweep packed vs unpacked shadow params in-run")
+    ap.add_argument("--bitmap-sweep", action="store_true",
+                    help="sweep on-demand vs prebuilt kernel bitmaps in-run")
+    ap.add_argument("--ikeys-sweep", action="store_true",
+                    help="sweep incremental vs direct trace keys in-run")
+    ap.add_argument("--fpb-sweep", type=int, nargs="*", default=None,
+                    help="sweep SHADOW frames-per-grid-step caps in-run "
+                         "(e.g. --fpb-sweep 1 2 4 8)")
+    ap.add_argument("--tfpb-sweep", type=int, nargs="*", default=None,
+                    help="sweep TRACE frames-per-grid-step caps in-run")
+    ap.add_argument("--slot-cap-sweep", type=int, nargs="*", default=None,
+                    help="sweep trace slot caps in-run (bin_capacity "
+                         "means uncompacted, e.g. --slot-cap-sweep 7 8)")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="also time N back-to-back dispatches materialised "
                          "together (does the dispatch floor overlap "
@@ -88,14 +100,17 @@ def main() -> None:
     players, lights = anim.light_sweep_states(
         F, scene.pos[0], center=centers[args.light], radius=40)
 
-    def runner(rows, groups, trows, upto, chunk=None):
+    def runner(rows, groups, trows, upto, chunk=None, slot_cap="anim"):
         chunk = args.chunk[0] if chunk is None else chunk
+        if slot_cap == "anim":
+            slot_cap = anim.trace_slot_cap
         @jax.jit
         def run(players, lights):
             out = render_states_batched(r, cache, ds, players, lights,
                                         shadow_rows=rows,
                                         lane_groups=groups,
                                         trace_rows=trows,
+                                        trace_slot_cap=slot_cap,
                                         shadow_chunk=chunk, upto=upto)
             if upto is None:
                 return out, out.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
@@ -119,8 +134,20 @@ def main() -> None:
             print(f"R={rows} G={groups} TR={trows} upto={label:24s} "
                   f"{t*1e3:9.2f} ms ({t*1e3/F:7.3f} ms/frame)")
     else:
+        from pixel_art_raytracer_tpu.ops import shadow_pallas, trace_pallas
+
         packs = ([True, False] if args.box_pack_sweep
                  else [r.shadow_box_pack])
+        bitmaps = ([True, False] if args.bitmap_sweep
+                   else [shadow_pallas.BITMAP_ONDEMAND])
+        ikeys = ([True, False] if args.ikeys_sweep
+                 else [trace_pallas.INCREMENTAL_KEYS])
+        fpbs = (args.fpb_sweep if args.fpb_sweep
+                else [shadow_pallas.FRAMES_PER_BLOCK])
+        tfpbs = (args.tfpb_sweep if args.tfpb_sweep
+                 else [trace_pallas.TRACE_FRAMES_PER_BLOCK])
+        scaps = (args.slot_cap_sweep if args.slot_cap_sweep
+                 else [anim.trace_slot_cap])
         # Compile every config first, then time them in interleaved
         # rounds: the axon tunnel's ambient load drifts on the minutes
         # scale (same-config repeats differ by up to 0.07 ms/frame), so
@@ -133,13 +160,27 @@ def main() -> None:
                 for trows in args.trace_rows:
                     for ch in args.chunk:
                         for bp in packs:
-                            key = (rows, groups, trows, ch, bp)
-                            if any(e[0] == key for e in entries):
-                                continue
-                            r.shadow_box_pack = bp
-                            fn = runner(rows, groups, trows, None, ch)
-                            _ = np.asarray(fn(players, lights))   # compile
-                            entries.append((key, fn, []))
+                            import itertools
+
+                            for bo, ik, fpb, tfpb, scap in \
+                                    itertools.product(bitmaps, ikeys,
+                                                      fpbs, tfpbs, scaps):
+                                key = (rows, groups, trows, ch, bp,
+                                       bo, ik, fpb, tfpb, scap)
+                                if any(e[0] == key for e in entries):
+                                    continue
+                                r.shadow_box_pack = bp
+                                shadow_pallas.BITMAP_ONDEMAND = bo
+                                trace_pallas.INCREMENTAL_KEYS = ik
+                                shadow_pallas.FRAMES_PER_BLOCK = fpb
+                                trace_pallas.TRACE_FRAMES_PER_BLOCK = tfpb
+                                sc = (None if scap is None
+                                      or scap >= cfg.bin_capacity
+                                      else scap)
+                                fn = runner(rows, groups, trows, None,
+                                            ch, slot_cap=sc)
+                                _ = np.asarray(fn(players, lights))
+                                entries.append((key, fn, []))
         rounds = max(3, args.iters)
         for _ in range(rounds):
             for key, fn, ts in entries:
@@ -151,17 +192,21 @@ def main() -> None:
                     best = min(best, _t.perf_counter() - t0)
                 ts.append(best)
         rays = 2 * cfg.view_width * cfg.view_height * F
-        for (rows, groups, trows, ch, bp), _, ts in entries:
+        for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb, scap), _, ts \
+                in entries:
             med = float(np.median(ts))
             lo = float(np.min(ts))
-            print(f"R={rows} G={groups} TR={trows} C={ch} pack={int(bp)} FULL "
+            print(f"R={rows} G={groups} TR={trows} C={ch} pack={int(bp)} "
+                  f"od={int(bo)} ik={int(ik)} fpb={fpb} tfpb={tfpb} "
+                  f"cap={scap} FULL "
                   f"med {med*1e3:8.2f} ms ({med*1e3/F:6.3f} ms/f, "
                   f"{rays/med/1e6:6.1f} Mr/s)  best {lo*1e3:8.2f} "
                   f"({lo*1e3/F:6.3f})")
         if args.pipeline:
             import time as _t
 
-            for (rows, groups, trows, ch, bp), fn, _ in entries:
+            for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb,
+                 scap), fn, _ in entries:
                 def burst(p, l, n=args.pipeline):
                     outs = [fn(p, l) for _ in range(n)]
                     return [np.asarray(o) for o in outs]

@@ -1,13 +1,24 @@
-"""Shadow-kernel cost decomposition via timing-only ablations.
+"""Kernel cost decomposition via timing-only ablations (interleaved).
 
-Times upto=shadow with the production kernel, then with the slab test
-ablated (hit=member) and the membership read ablated — the deltas split
-the kernel's per-candidate cost into slab-vector work, membership work,
-and fixed (scalar-load / loop) cost.  Results are WRONG under ablation;
-only the timing is meaningful.
+Times the production pipeline cut at a kernel against ablated variants of
+that kernel; the deltas split the kernel's cost into its components.
+Results are WRONG under ablation; only the timing is meaningful.
 
-Usage: python tools/prof_shadow_ablate.py [--frames 64] [--rows 40]
-       [--groups 2 4] [--chunk 8]
+All variants are compiled FIRST and then timed in alternating rounds
+(median reported): the axon tunnel's ambient load drifts on the minutes
+scale, so sequential cross-config comparisons below ~0.07 ms/frame are
+noise (see docs/PERF.md methodology).
+
+Shadow modes (upto=shadow): full / noslab (hit=member) / nomember
+(member=true, no bitmap work) / noloads (constant candidate params — no
+scalar loads) / nobody (list load + one vector op per visit).
+
+Trace modes (--kernel trace, upto=tkeys): full / nop3 (no winner-field
+resolve) / nobinmax (no per-(bin, row) maxima) / noee (pure-max phase-2
+scan).
+
+Usage: python tools/prof_shadow_ablate.py [--kernel shadow|trace]
+       [--frames 64] [--rows 40] [--groups 2] [--chunk 8] [--iters 4]
 """
 
 import argparse
@@ -19,28 +30,22 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-
-
-def time_host(fn, *args, iters=3):
-    out = fn(*args)
-    _ = jax.tree.map(np.asarray, out)
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _ = jax.tree.map(np.asarray, out)
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel", choices=["shadow", "trace"],
+                    default="shadow")
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--rows", type=int, default=40)
-    ap.add_argument("--groups", type=int, nargs="*", default=[2])
+    ap.add_argument("--trace-rows", type=int, default=40)
+    ap.add_argument("--groups", type=int, default=2)
     ap.add_argument("--chunk", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--ablate", nargs="*", default=None,
+                    help="explicit ablation modes to compare ('None' = "
+                         "the unablated kernel; default: the full set "
+                         "for the chosen kernel)")
     args = ap.parse_args()
     F = args.frames
 
@@ -51,7 +56,8 @@ def main() -> None:
     from pixel_art_raytracer_tpu.models.animation import AnimationRenderer
     from pixel_art_raytracer_tpu.models.batched import render_states_batched
     from pixel_art_raytracer_tpu.ops.static_bins import StaticBins
-    from pixel_art_raytracer_tpu.ops import shadow_fast, shadow_pallas
+    from pixel_art_raytracer_tpu.ops import (shadow_fast, shadow_pallas,
+                                             trace_pallas)
 
     scene = graybox_world()
     tables = shadow_fast.derive_tables(cfg, scene)
@@ -63,20 +69,47 @@ def main() -> None:
     ds = DeviceScene.from_scene(scene, cfg)
     players, lights = anim.light_sweep_states(F, scene.pos[0], radius=40)
 
-    print(f"frames={F} rows={args.rows} chunk={args.chunk}")
-    for g in args.groups:
-        for mode in [None, "noslab", "nomember"]:
-            shadow_pallas._ablate = mode
-            try:
-                fn = jax.jit(lambda p, l, gg=g: render_states_batched(
-                    r, cache, ds, p, l, shadow_rows=args.rows,
-                    lane_groups=gg, trace_rows=40,
-                    shadow_chunk=args.chunk, upto="shadow"))
-                t = time_host(fn, players, lights, iters=args.iters)
-                print(f"G={g} ablate={str(mode):9s} {t*1e3:9.2f} ms "
-                      f"({t*1e3/F:7.3f} ms/frame)")
-            finally:
-                shadow_pallas._ablate = None
+    if args.kernel == "shadow":
+        mod, upto = shadow_pallas, "shadow"
+        modes = [None, "noslab", "nomember", "noloads", "nobody", "notrow"]
+    else:
+        mod, upto = trace_pallas, "tkeys"
+        modes = [None, "nop3", "nobinmax", "noee"]
+    if args.ablate is not None:
+        modes = [None if m == "None" else m for m in args.ablate]
+
+    print(f"kernel={args.kernel} frames={F} rows={args.rows} "
+          f"G={args.groups} chunk={args.chunk} upto={upto}")
+    entries = []
+    for mode in modes:
+        mod._ablate = mode
+        try:
+            fn = jax.jit(lambda p, l: render_states_batched(
+                r, cache, ds, p, l, shadow_rows=args.rows,
+                lane_groups=args.groups, trace_rows=args.trace_rows,
+                shadow_chunk=args.chunk, upto=upto))
+            _ = np.asarray(fn(players, lights))   # compile
+            entries.append((mode, fn, []))
+        finally:
+            mod._ablate = None
+
+    for _ in range(max(3, args.iters)):
+        for mode, fn, ts in entries:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _ = np.asarray(fn(players, lights))
+                best = min(best, time.perf_counter() - t0)
+            ts.append(best)
+
+    base = None
+    for mode, _, ts in entries:
+        med = float(np.median(ts))
+        if mode is None:
+            base = med
+        delta = "" if base is None else f"  delta {-(base - med)*1e3/F:+.3f}"
+        print(f"ablate={str(mode):9s} med {med*1e3:9.2f} ms "
+              f"({med*1e3/F:7.3f} ms/frame){delta}")
 
 
 if __name__ == "__main__":

@@ -28,10 +28,10 @@ run() {
   echo "$(date +%T) END $name rc=$rc" | tee -a /root/r3log/session.log
 }
 
+run bench bench.py
 run stages tools/prof_pipeline.py --stages --frames 64 --rows 40 \
     --groups 2 --trace-rows 40 --iters 3
 run geom tools/prof_geom.py 64
 run sweep tools/prof_pipeline.py --frames 64 --rows 40 8 --groups 2 4 \
     --trace-rows 40 --iters 3
-run bench bench.py
 echo "$(date +%T) ALL DONE" | tee -a /root/r3log/session.log
