@@ -402,12 +402,9 @@ BITMAP_ONDEMAND = True
 FRAMES_PER_BLOCK = 1
 
 
-def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
-                   box_ref,
-                   centi_ref, trow_ref, tbg_ref, szidx_ref, bg_ref, oy_ref,
-                   oz_ref, ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref,
-                   *scratch,
+def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
                    w_pad: int, rows: int, n_words: int, n_sz: int,
+                   meta_off: int, mq: int,
                    lane_groups: int = 1, chunk: int = 8,
                    saturate: bool = False, packed_params: bool = False,
                    bitmap_ondemand: bool = True, frames: int = 1):
@@ -416,17 +413,20 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
     animation batch and each grid step shades ``frames`` frames' tiles.
     Per-block pruned candidate counts, flat-bin ids, and the pruned index
     lists stream through blocked SMEM inputs (whole SMEM tables would be
-    buffered per grid step, blowing the 1 MB budget); box corners / entity
-    ids live in VMEM and are read with scalar loads.
+    buffered per grid step, blowing the 1 MB budget).
+
+    Operand windows are MERGED: empty-kernel ablations showed the stage is
+    per-grid-step window fixed cost, not compute, so the 8 per-pixel
+    inputs ride two stacked windows (``pixi`` i32: szidx/bg/ent, ``pixf``
+    f32: oy/oz/ivx/ivy/ivz), the per-candidate i32 param tables one
+    (``ptab``: cword/cmask/centi rows, or the 4 packed rows), and the
+    per-block counts + sz ranges one (``meta``: counts then interleaved
+    [lo, hi) at offset ``meta_off``).  Same bytes move; far fewer window
+    DMAs per step.
 
     ``lane_groups`` > 1 splits the block into that many 128-multiple lane
     tiles, each streaming its own (smaller) pruned candidate list — the
     vectorizable form of per-corridor candidate pruning (VERDICT #4).
-
-    ``frames`` > 1 amortises the per-grid-step fixed cost (the kernel has
-    ~17 operand windows; an interleaved ablation put the step overhead at
-    ~3 us — comparable to a whole tile's candidate work) over several
-    frames' tiles: same bytes move, 1/frames as many grid steps.
 
     ``bitmap_ondemand``: build each membership word's (R, gw) pixel tile
     lazily inside the word-change refresh (a tile's candidates touch only
@@ -436,6 +436,8 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
     either way — the refresh reproduces exactly the select chain the
     prebuild runs for that word.
     """
+    trow_ref, tbg_ref, pixi_ref, pixf_ref, out_ref = rest[:5]
+    scratch = rest[5:]
     block = pl.program_id(1)
     g = pl.program_id(2)
     R = rows
@@ -451,20 +453,19 @@ def _shadow_kernel(counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
     for fb in range(frames):
         _shadow_frame_body(
             fb, block, g, list_row if packed_params else None, ox,
-            counts_ref, szrange_ref, cword_ref, cmask_ref, lists_ref,
-            box_ref, centi_ref, trow_ref, tbg_ref, szidx_ref, bg_ref,
-            oy_ref, oz_ref, ivx_ref, ivy_ref, ivz_ref, ent_ref, out_ref,
+            meta_ref, ptab_ref, lists_ref, trow_ref, tbg_ref,
+            pixi_ref, pixf_ref, out_ref,
             scratch, w_pad=w_pad, rows=R, n_words=n_words, n_sz=n_sz,
+            meta_off=meta_off, mq=mq,
             lane_groups=G, chunk=chunk, saturate=saturate,
             packed_params=packed_params, bitmap_ondemand=bitmap_ondemand)
 
 
 def _shadow_frame_body(fb, block, g, list_row, ox,
-                       counts_ref, szrange_ref, cword_ref, cmask_ref,
-                       lists_ref, box_ref, centi_ref, trow_ref, tbg_ref,
-                       szidx_ref, bg_ref, oy_ref, oz_ref, ivx_ref, ivy_ref,
-                       ivz_ref, ent_ref, out_ref, scratch,
+                       meta_ref, ptab_ref, lists_ref, trow_ref,
+                       tbg_ref, pixi_ref, pixf_ref, out_ref, scratch,
                        *, w_pad: int, rows: int, n_words: int, n_sz: int,
+                       meta_off: int, mq: int,
                        lane_groups: int, chunk: int, saturate: bool,
                        packed_params: bool, bitmap_ondemand: bool):
     """One frame's tile of the shadow kernel body (``fb`` indexes the
@@ -480,17 +481,17 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
     R = rows
     G = lane_groups
     gw = w_pad // G
-    oy = oy_ref[fb]
-    oz = oz_ref[fb]
-    ivx = ivx_ref[fb]
-    ivy = ivy_ref[fb]
-    ivz = ivz_ref[fb]
-    ent = ent_ref[fb]
-    szidx = szidx_ref[fb]
-    bg = bg_ref[fb] > 0
+    oy = pixf_ref[fb, 0]
+    oz = pixf_ref[fb, 1]
+    ivx = pixf_ref[fb, 2]
+    ivy = pixf_ref[fb, 3]
+    ivz = pixf_ref[fb, 4]
+    szidx = pixi_ref[fb, 0]
+    bg = pixi_ref[fb, 1] > 0
+    ent = pixi_ref[fb, 2]
 
-    sz_lo = szrange_ref[fb, 0, 2 * block]
-    sz_hi = szrange_ref[fb, 0, 2 * block + 1]
+    sz_lo = meta_ref[fb, 0, meta_off + 2 * block]
+    sz_hi = meta_ref[fb, 0, meta_off + 2 * block + 1]
     notbg = ~bg
 
     if not bitmap_ondemand:
@@ -549,14 +550,15 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
                 # packed corners + 512 (bounds host-proved by
                 # box_pack_ok; out-of-range scenes use the unpacked
                 # layout).  The lists block holds an 8-tile band; this
-                # tile's row is (block*G + g) % band.
+                # tile's row is (block*G + g) % band.  ptab rows:
+                # 0=wordent, 1=mask, 2=boxa, 3=boxb.
                 c = lists_ref[fb, list_row, m]
-                we = cword_ref[fb, 0, c]
+                we = ptab_ref[fb, 0, c]
                 word_c = we >> 18
                 ent_c = we & jnp.int32(0x3ffff)
-                mask_c = cmask_ref[fb, 0, c]
-                ba = box_ref[fb, 0, c]
-                bb = centi_ref[fb, 0, c]
+                mask_c = ptab_ref[fb, 1, c]
+                ba = ptab_ref[fb, 2, c]
+                bb = ptab_ref[fb, 3, c]
                 px = ((ba & 1023) - 512).astype(jnp.float32)
                 py = (((ba >> 10) & 1023) - 512).astype(jnp.float32)
                 pz = ((ba >> 20) - 512).astype(jnp.float32)
@@ -564,24 +566,27 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
                 qy = (((bb >> 10) & 1023) - 512).astype(jnp.float32)
                 qz = ((bb >> 20) - 512).astype(jnp.float32)
             else:
+                # ptab row bands: cword [0, mq), cmask [mq, 2mq),
+                # centi [2mq, 3mq), box corners [3mq, 3mq + M/16).
                 c = lists_ref[fb, 0, 0, m // 128, m % 128]
-                word_c = cword_ref[fb, c // 128, c % 128]
-                mask_c = cmask_ref[fb, c // 128, c % 128]
+                word_c = ptab_ref[fb, c // 128, c % 128]
+                mask_c = ptab_ref[fb, mq + c // 128, c % 128]
                 # Scalar loads from the SMEM tables: scalars broadcast
                 # freely into the [R, gw] vector math (vector extracts
                 # would need a both-dims broadcast, which Mosaic lacks).
                 # Candidate c's box corners live at flat [c*8, c*8+6) of
-                # the 128-minor table — 8 | 128, so one candidate's
-                # fields share a row.
-                bq = c // 16
+                # the 128-minor band — 8 | 128, so one candidate's
+                # fields share a row.  Corners are integral world coords
+                # stored i32; the scalar int->f32 convert is exact.
+                bq = 3 * mq + c // 16
                 br = (c % 16) * 8
-                px = box_ref[fb, bq, br]
-                py = box_ref[fb, bq, br + 1]
-                pz = box_ref[fb, bq, br + 2]
-                qx = box_ref[fb, bq, br + 3]
-                qy = box_ref[fb, bq, br + 4]
-                qz = box_ref[fb, bq, br + 5]
-                ent_c = centi_ref[fb, c // 128, c % 128]
+                px = ptab_ref[fb, bq, br].astype(jnp.float32)
+                py = ptab_ref[fb, bq, br + 1].astype(jnp.float32)
+                pz = ptab_ref[fb, bq, br + 2].astype(jnp.float32)
+                qx = ptab_ref[fb, bq, br + 3].astype(jnp.float32)
+                qy = ptab_ref[fb, bq, br + 4].astype(jnp.float32)
+                qz = ptab_ref[fb, bq, br + 5].astype(jnp.float32)
+                ent_c = ptab_ref[fb, 2 * mq + c // 128, c % 128]
 
             if _ablate == "nomember":
                 member = jnp.ones((R, gw), jnp.bool_)
@@ -659,7 +664,7 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
             occ = occ | occ_new.astype(jnp.int32)
         return occ, prev_word
 
-    n = counts_ref[fb, 0, block * G + g]
+    n = meta_ref[fb, 0, block * G + g]
     occ0 = jnp.zeros((R, gw), jnp.int32)
     # prev_word starts at an impossible value so the first candidate
     # always stages its word.
@@ -771,12 +776,24 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
 
     kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
                                n_words=n_words, n_sz=SZ, lane_groups=G,
+                               meta_off=NB * G, mq=Mq,
                                chunk=chunk, saturate=saturate,
                                packed_params=packed_params,
                                bitmap_ondemand=bitmap_ondemand, frames=FB)
 
-    def pix():
-        return pl.BlockSpec((FB, R, gw), lambda f, i, g: (f, i, g),
+    # Merged operand windows (empty-kernel ablations put the stage's cost
+    # in per-grid-step window fixed cost, not compute): the 8 per-pixel
+    # inputs ride TWO stacked windows (same bytes, 6 fewer window DMAs per
+    # step), the i32 candidate param tables ONE, counts + sz ranges ONE.
+    pixi = jnp.stack([szidx.astype(jnp.int32), bg.astype(jnp.int32),
+                      start_ent.astype(jnp.int32)], axis=1)
+    pixf = jnp.stack([oy, oz, ivx, ivy, ivz], axis=1)
+    meta = jnp.concatenate([blk_counts.astype(jnp.int32),
+                            blk_szrange.astype(jnp.int32)],
+                           axis=-1)[:, None, :]
+
+    def pix(k):
+        return pl.BlockSpec((FB, k, R, gw), lambda f, i, g: (f, 0, i, g),
                             memory_space=pltpu.VMEM)
 
     if packed_params:
@@ -785,36 +802,31 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         # second-minor block dim must be 8-divisible or equal the array
         # dim); the kernel indexes its tile's row with (i*G + g) % 8.
         lb = 8 if (NB * G) % 8 == 0 else NB * G
+        ptab = jnp.stack([cword[:, 0], cmask[:, 0], box[:, 0],
+                          centi[:, 0]], axis=1)
         param_specs = [
-            pl.BlockSpec((FB, 1, M), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # wordent
-            pl.BlockSpec((FB, 1, M), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # candidate bin masks
+            pl.BlockSpec((FB, 4, M), lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # wordent/mask/boxa/b
             pl.BlockSpec((FB, lb, M),
                          lambda f, i, g: (f, (i * G + g) // lb, 0),
                          memory_space=pltpu.SMEM),    # pruned index lists
-            pl.BlockSpec((FB, 1, M), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # boxa
-            pl.BlockSpec((FB, 1, M), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # boxb
         ]
-        param_ops = (cword, cmask, lists.reshape(F, NB * G, M), box, centi)
+        param_ops = (ptab, lists.reshape(F, NB * G, M))
     else:
+        # Box corners are integral world coordinates (entity positions and
+        # extents are ints): stored i32 in the merged table, converted
+        # back per scalar load in the kernel — exact both ways.
+        ptab = jnp.concatenate([cword, cmask, centi,
+                                box.astype(jnp.int32)], axis=1)
         param_specs = [
-            pl.BlockSpec((FB, Mq, 128), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # candidate word ids
-            pl.BlockSpec((FB, Mq, 128), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # candidate bin masks
+            pl.BlockSpec((FB, 3 * Mq + M // 16, 128),
+                         lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # ids + box corners
             pl.BlockSpec((FB, 1, 1, Mq, 128),
                          lambda f, i, g: (f, i, g, 0, 0),
                          memory_space=pltpu.SMEM),    # pruned index lists
-            pl.BlockSpec((FB, M // 16, 128), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # box corners (packed)
-            pl.BlockSpec((FB, Mq, 128), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # candidate entity ids
         ]
-        param_ops = (cword, cmask, lists.reshape(F, NB, G, Mq, 128), box,
-                     centi)
+        param_ops = (ptab, lists.reshape(F, NB, G, Mq, 128))
 
     # SMEM operands are buffered per grid step: whole tables must not ride
     # scalar prefetch (F x their size would blow the budget), but *blocked*
@@ -834,17 +846,16 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         in_specs=[
             # The unit middle axis keeps the SMEM block's trailing dims
             # equal to the array's (the TPU lowering requires it).
-            pl.BlockSpec((FB, 1, NB * G), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # per-(block,g) counts
-            pl.BlockSpec((FB, 1, NB * 2), lambda f, i, g: (f, 0, 0),
-                         memory_space=pltpu.SMEM),    # per-block sz range
+            pl.BlockSpec((FB, 1, NB * G + NB * 2),
+                         lambda f, i, g: (f, 0, 0),
+                         memory_space=pltpu.SMEM),    # counts + sz ranges
             *param_specs,
             pl.BlockSpec((FB, 1, SZN, gw),
                          lambda f, i, g: (f, i // bpr, 0, g),
                          memory_space=pltpu.VMEM),    # t_row (per bin row)
             pl.BlockSpec((FB, n_words, gw), lambda f, i, g: (f, 0, g),
                          memory_space=pltpu.VMEM),    # t_bg
-            pix(), pix(), pix(), pix(), pix(), pix(), pix(), pix(),
+            pix(3), pix(5),
         ],
         out_specs=pl.BlockSpec((FB, R, gw), lambda f, i, g: (f, i, g),
                                memory_space=pltpu.VMEM),
@@ -858,8 +869,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, H, w_pad), jnp.int32),
         interpret=interpret,
-    )(blk_counts[:, None, :], blk_szrange[:, None, :], *param_ops,
-      t_row, t_bg, szidx, bg, oy, oz, ivx, ivy, ivz, start_ent)
+    )(meta, *param_ops, t_row, t_bg, pixi, pixf)
 
 
 def block_sz_ranges(szidx, bg, view_width: int, rows_per_block: int,

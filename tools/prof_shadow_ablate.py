@@ -82,12 +82,22 @@ def main() -> None:
           f"G={args.groups} chunk={args.chunk} upto={upto}")
     entries = []
     for mode in modes:
-        mod._ablate = mode
+        # "cut:<stage>" pseudo-modes time an upto-cut of the pipeline in
+        # the SAME interleaved process (e.g. cut:prep vs empty vs None
+        # splits the kernel stage into window/grid floor and body without
+        # cross-session drift).  Upto-cut programs can compile
+        # pathologically (see CLAUDE.md) — sanity-check against the
+        # in-kernel ablations.
+        if mode is not None and mode.startswith("cut:"):
+            ablate, cut = None, mode[4:]
+        else:
+            ablate, cut = mode, upto
+        mod._ablate = ablate
         try:
-            fn = jax.jit(lambda p, l: render_states_batched(
+            fn = jax.jit(lambda p, l, cut=cut: render_states_batched(
                 r, cache, ds, p, l, shadow_rows=args.rows,
                 lane_groups=args.groups, trace_rows=args.trace_rows,
-                shadow_chunk=args.chunk, upto=upto))
+                shadow_chunk=args.chunk, upto=cut))
             _ = np.asarray(fn(players, lights))   # compile
             entries.append((mode, fn, []))
         finally:
