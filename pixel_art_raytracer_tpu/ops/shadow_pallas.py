@@ -470,8 +470,10 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
                        packed_params: bool, bitmap_ondemand: bool):
     """One frame's tile of the shadow kernel body (``fb`` indexes the
     frame within the grid step's frame block)."""
-    if _ablate == "empty":
+    if _ablate is not None and _ablate.startswith("empty"):
         # Pure floor bound: same grid + operand windows, no kernel work.
+        # "emptyno<win>" variants additionally shrink one window in the
+        # driver, isolating that window's per-step DMA/fill share.
         out_ref[fb] = jnp.ones(out_ref.shape[1:], jnp.int32)
         return
     if bitmap_ondemand:
@@ -833,14 +835,53 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     # SMEM specs only buffer their few-KB block — counts, bin ids, and the
     # per-tile pruned candidate list use that.  Lane groups ride the third
     # grid axis: every pixel operand is lane-blocked to the tile.
-    if _ablate == "notrow":
+    if _ablate in ("notrow", "emptynotrow"):
         # Timing-only: shrink the t_row window to an 8-row dummy to bound
         # the membership-table DMA share of the stage.
-        assert bitmap_ondemand
+        assert bitmap_ondemand or _ablate == "emptynotrow"
         t_row = t_row[:, :, :8]
         SZN = 8
     else:
         SZN = SZ * n_words
+
+    # Timing-only "empty*" ablations: the empty kernel body reads no
+    # operand, so shrinking individual windows (same grid, same body)
+    # isolates each window's per-step DMA/fill share of the stage floor.
+    emptyv = _ablate is not None and _ablate.startswith("empty")
+    if emptyv and _ablate in ("emptynoptab", "emptynosmem"):
+        param_ops = (param_ops[0][:, :8],) + param_ops[1:]
+        param_specs[0] = pl.BlockSpec(
+            (FB, 8, param_ops[0].shape[-1]), lambda f, i, g: (f, 0, 0),
+            memory_space=pltpu.SMEM)
+    if emptyv and _ablate in ("emptynolists", "emptynosmem") \
+            and not packed_params:
+        param_ops = (param_ops[0], param_ops[1][:, :, :, :1, :])
+        param_specs[1] = pl.BlockSpec(
+            (FB, 1, 1, 1, 128), lambda f, i, g: (f, i, g, 0, 0),
+            memory_space=pltpu.SMEM)
+    if emptyv and _ablate == "emptynopix":
+        pixi = pixi[:, :, :8, :]
+        pixf = pixf[:, :, :8, :]
+
+        def pix(k):  # noqa: F811 — timing-only 8-row pixel windows
+            return pl.BlockSpec((FB, k, 8, gw),
+                                lambda f, i, g: (f, 0, 0, g),
+                                memory_space=pltpu.VMEM)
+    if _ablate == "inputs":
+        # Timing-only: assemble and READ every kernel operand (each .sum
+        # forces materialisation + a full pass over the bytes) but never
+        # launch the kernel — bounds the XLA glue (stacks/pads/builds)
+        # plus one read of the operand bytes.  empty - inputs = the pure
+        # kernel grid/window floor.
+        cs = (meta.sum((1, 2))
+              + sum(op.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+                    for op in param_ops)
+              + t_row.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+              + t_bg.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+              + pixi.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+              + pixf.reshape(F, -1).sum(axis=1).astype(jnp.int32))
+        return jnp.broadcast_to(cs[:, None, None], (F, H, w_pad)).astype(
+            jnp.int32)
     grid_spec = pl.GridSpec(
         grid=(F // FB, NB, G),
         in_specs=[
