@@ -128,6 +128,15 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         return sum(wi.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
                    for wi in winners)
 
+    # Winner-direct shadow inputs: with masked packed picks the shadow
+    # kernel derives every per-pixel input from the trace winners (A, B)
+    # in VMEM — five HBM pixel buffers (szidx/bg/ent/oy/oz) and their
+    # producing XLA passes disappear.  Requires the packed-pick bounds
+    # (r.trace_packed) and the point-light fast path (directional mode
+    # extends the start space beyond what B encodes).
+    winner_mode = bool(r.trace_packed
+                       and getattr(r, "shadow_winner_inputs", True)
+                       and not directional)
     gbuf = trace_pallas.trace_pixels_pallas_batched(
         dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
         dscene.atlas_normal, dscene.palette, bins_ent, counts, dyn_pos,
@@ -135,7 +144,10 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         n_compact=ncc, rows_per_block=trace_rows,
         packed_picks=r.trace_packed,
         slot_cap=None if ncc is not None else trace_slot_cap,
-        field_pack=r.trace_field_pack)
+        field_pack=r.trace_field_pack, wide=True,
+        return_winners=winner_mode)
+    if winner_mode:
+        gbuf, (win_a, win_b, _) = gbuf
 
     if upto == "trace":
         mix = (gbuf.entity_index + gbuf.y + gbuf.z
@@ -161,8 +173,9 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     # Background pixels (zero G-buffer y/z, quirk Q6) use the aliased
     # background start row; wy+wz == world_j >= 1 for hits.
     bg = _padw(((gbuf.y + gbuf.z) == 0).astype(jnp.int32), w_pad)
-    ent_p = _padw(gbuf.entity_index, w_pad)
-    oy_p, oz_p = _padw(origin[1], w_pad), _padw(origin[2], w_pad)
+    if not winner_mode:
+        ent_p = _padw(gbuf.entity_index, w_pad)
+        oy_p, oz_p = _padw(origin[1], w_pad), _padw(origin[2], w_pad)
     G = shadow_pallas.effective_lane_groups(
         w_pad, lane_groups if w_pad % (lane_groups * 128) == 0 else 1)
 
@@ -226,15 +239,19 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         if upto == "lists":
             return (blk_counts.reshape(F, -1).sum(axis=1)
                     + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32))
+        # Half-pair membership tables: the expansion matmuls emit the u32
+        # halves directly and the kernel ORs them at its word-change row
+        # reads — the XLA combine pass (a full-table write + two reads)
+        # disappears.
         t_row, t_bg = jax.vmap(
             lambda w: shadow_pallas.lane_member_tables(w, cfg, tables, R,
-                                                       w_pad)
+                                                       w_pad, halves=True)
         )(words)
         if upto == "trow":
             return (blk_counts.reshape(F, -1).sum(axis=1)
                     + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
-                    + t_row.reshape(F, -1).sum(axis=1).astype(jnp.int32)
-                    + t_bg.reshape(F, -1).sum(axis=1).astype(jnp.int32))
+                    + sum(t.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                          for t in t_row + t_bg))
         box_pack = getattr(r, "shadow_box_pack", False)
         if box_pack:
             cword, cmask, box, centi = jax.vmap(
@@ -253,20 +270,31 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         if upto == "prep":
             return (blk_counts.reshape(F, -1).sum(axis=1)
                     + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
-                    + t_row.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                    + sum(t.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                          for t in t_row)
                     + cword.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
                     + cmask.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
                     + box.reshape(F, -1).sum(axis=1).astype(jnp.int32)
                     + iv_p[0].reshape(F, -1).sum(axis=1).astype(jnp.int32))
 
         def fast_lit():
-            lit_pad = shadow_pallas.shadow_call_batched(
-                blk_counts.reshape(F, -1), szr, cword, cmask,
-                lists.reshape(F, H // R, -1, 128),
-                box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
-                iv_p[0], iv_p[1], iv_p[2], cfg, tables, rows_per_block=R,
-                lane_groups=G, chunk=shadow_chunk, packed_params=box_pack)
-            return lit_pad[:, :, :W] > 0
+            if winner_mode:
+                lit_pad = shadow_pallas.shadow_call_batched(
+                    blk_counts.reshape(F, -1), szr, cword, cmask,
+                    lists.reshape(F, H // R, -1, 128),
+                    box, centi, t_row, t_bg, None, None, None, None, None,
+                    iv_p[0], iv_p[1], iv_p[2], cfg, tables,
+                    rows_per_block=R, lane_groups=G, chunk=shadow_chunk,
+                    packed_params=box_pack, winners=(win_a, win_b))
+            else:
+                lit_pad = shadow_pallas.shadow_call_batched(
+                    blk_counts.reshape(F, -1), szr, cword, cmask,
+                    lists.reshape(F, H // R, -1, 128),
+                    box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
+                    iv_p[0], iv_p[1], iv_p[2], cfg, tables,
+                    rows_per_block=R, lane_groups=G, chunk=shadow_chunk,
+                    packed_params=box_pack)
+            return lit_pad > 0
 
         if r.shadow_guard == "fallback":
             # Static-bound validation over the whole batch: any violating
@@ -275,12 +303,15 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             # ops/shade.py).
             from ..ops.shadow import trace_light_dynamic
 
-            steps = jax.vmap(shade_ops.max_needed_steps)(rb_g, lb)
+            steps = jax.vmap(shade_ops.max_needed_steps)(
+                jax.tree.map(lambda x: x[..., :W], rb_g),
+                jax.tree.map(lambda x: x[..., :W], lb))
             # Only pixels whose output depends on the shadow result need
             # in-range start rows (excluded pixels shade to ambient either
             # way).
-            sz_in = ((rb_g[2] >= tables.sz_lo) & (rb_g[2] < tables.sz_hi))
-            sz_ok = jnp.all(sz_in | ~(dot > 0))
+            sz_in = ((rb_g[2][..., :W] >= tables.sz_lo)
+                     & (rb_g[2][..., :W] < tables.sz_hi))
+            sz_ok = jnp.all(sz_in | ~(dot[..., :W] > 0))
             ok = (~jnp.any(cands.overflow) & sz_ok
                   & (jnp.max(steps) <= tables.max_steps))
 
@@ -389,7 +420,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                 box, centi, t_row, t_bg, ezp, bg, ent_p, oy_p, oz_p,
                 iv[0], iv[1], iv[2], cfg, etab, rows_per_block=R,
                 lane_groups=G, chunk=shadow_chunk)
-            return lit_pad[:, :, :W] > 0
+            return lit_pad > 0
 
         if r.shadow_guard == "fallback":
             # Variant indices are in range by construction (shadow_dir
@@ -397,9 +428,10 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             # candidate capacity need the runtime envelope.  No step
             # guard: the scan path truncates at the same static
             # max_steps, so truncation is parity-identical.
-            sz_in = (rbz >= dtab.sz_lo) & (rbz < dtab.sz_hi)
+            sz_in = ((rbz[..., :W] >= dtab.sz_lo)
+                     & (rbz[..., :W] < dtab.sz_hi))
             ok = (~jnp.any(cands.overflow)
-                  & jnp.all(sz_in | ~(dot > 0)))
+                  & jnp.all(sz_in | ~(dot[..., :W] > 0)))
 
             def slow_lit():
                 from ..ops.shadow import trace_light
@@ -417,7 +449,8 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                                                      cfg, r.spans)
                     bs = cfg.bin_size
                     wx = jnp.broadcast_to(
-                        jnp.arange(W, dtype=jnp.int32)[None, :], y.shape)
+                        jnp.arange(y.shape[-1], dtype=jnp.int32)[None, :],
+                        y.shape)
                     rbf = (cstyle.c_div(wx, bs),
                            cstyle.c_div(jnp.int32(H) - y - z, bs),
                            cstyle.c_div(z, bs))
@@ -474,6 +507,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
 
         return jax.vmap(
             lambda c, fa: shade_dithered(c, fa, dscene.palette[:, :3])
-        )(gbuf.color, factor)
-    rgb = gbuf.color[..., :3].astype(f32) * factor[..., None]
+        )(gbuf.color[:, :, :W], factor[:, :, :W])
+    rgb = (gbuf.color[:, :, :W, :3].astype(f32)
+           * factor[:, :, :W, None])
     return rgb.astype(jnp.uint8)

@@ -112,6 +112,11 @@ class DeferredRenderer:
         # Bit-packed shadow candidate param tables (configure_for):
         # shadow_pallas.box_pack_ok proves the coordinate/entity ranges.
         self.shadow_box_pack = False
+        # Winner-direct shadow-kernel inputs (batched pipeline): with
+        # masked packed picks (trace_packed) the shadow kernel derives
+        # szidx/bg/ent/oy/oz from the trace winners in VMEM, deleting five
+        # HBM pixel buffers and their producing XLA passes per frame.
+        self.shadow_winner_inputs = True
         # Set once the jitted pipeline has traced with this renderer as a
         # static argument; configure_for() refuses to mutate after that
         # (the compile cache would silently keep the stale parameters).

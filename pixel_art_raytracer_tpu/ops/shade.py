@@ -56,7 +56,11 @@ def light_geometry(gbuf: GBufferArrays, light: jax.Array,
     optimization barrier preserves the 1/(d/len) double rounding).
     """
     cfg = config
-    W = cfg.view_width
+    # Lane count from the G-buffer itself: the batched pipeline keeps its
+    # frames lane-padded (pad lanes are background pixels whose world x is
+    # simply their lane index); single-frame callers pass view_width-wide
+    # buffers and nothing changes.
+    W = gbuf.y.shape[-1]
     f32 = jnp.float32
     bs = cfg.bin_size
 

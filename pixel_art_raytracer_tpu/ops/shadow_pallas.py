@@ -298,7 +298,7 @@ def lane_member_tables(member_words, config: RenderConfig,
                        tables: ShadowTables, rows_per_block: int,
                        w_pad: int, row0=0, n_rows: int | None = None,
                        n_sx: int | None = None, lane_sel=None,
-                       bg_row=None):
+                       bg_row=None, halves: bool = False):
     """Lane-expanded membership word tables, one row per DISTINCT bin row.
 
     ``row0``/``n_rows`` select the screen-row window (for row-sharded
@@ -316,6 +316,13 @@ def lane_member_tables(member_words, config: RenderConfig,
              map is ``block // (bin_size // rows_per_block)``.
       t_bg:  (n_words, w_pad) uint32 — words for the background start
              (sy = aliased background row, sz = index of 0).
+
+    ``halves``: return each table as an (lo, hi) pair of uint32 16-bit
+    halves instead of the combined words.  The expansion matmuls emit the
+    halves directly (XLA fuses the u32 convert into each MXU pass), so
+    skipping the combine deletes a full-table HBM pass (~3.5 MB/frame
+    written + 7 read on graybox); the shadow kernel ORs the halves at its
+    (rare, word-change-gated) row reads instead.
     """
     cfg = config
     SY = cfg.hash_height + 1
@@ -335,7 +342,7 @@ def lane_member_tables(member_words, config: RenderConfig,
     sel = (lane_select_matrix(cfg, w_pad) if lane_sel is None
            else lane_sel)                                  # (SX, w_pad) 0/1
 
-    def expand(rows):  # (..., SX, nw) -> (..., nw, w_pad)
+    def expand(rows):  # (..., SX, nw) -> (..., nw, w_pad) (or half pair)
         # Lane expansion as an MXU matmul (lane gathers are slow); uint32
         # words split into 16-bit halves so the f32 contraction is exact.
         r = jnp.moveaxis(rows, -2, -1)                     # (..., nw, SX)
@@ -351,13 +358,20 @@ def lane_member_tables(member_words, config: RenderConfig,
                                    preferred_element_type=jnp.float32)
         hi_l = jax.lax.dot_general(hi, sel, dn, precision=hp,
                                    preferred_element_type=jnp.float32)
+        if halves:
+            return (lo_l.astype(jnp.uint32).reshape(shp[:-1] + (w_pad,)),
+                    hi_l.astype(jnp.uint32).reshape(shp[:-1] + (w_pad,)))
         out = (lo_l.astype(jnp.uint32)
                | (hi_l.astype(jnp.uint32) << jnp.uint32(16)))
         return out.reshape(shp[:-1] + (w_pad,))
 
     rows = jnp.moveaxis(m[:, block_sy], 1, 0)          # (n_sy, SX, SZ, nw)
     rows = jnp.moveaxis(rows, 2, 1)                    # (n_sy, SZ, SX, nw)
-    t_row = expand(rows).reshape(n_sy, SZ * nw, w_pad)
+    if halves:
+        t_row = tuple(t.reshape(n_sy, SZ * nw, w_pad)
+                      for t in expand(rows))
+    else:
+        t_row = expand(rows).reshape(n_sy, SZ * nw, w_pad)
 
     from .cstyle import c_div
 
@@ -381,6 +395,24 @@ def lane_member_tables(member_words, config: RenderConfig,
 # membership-table DMA cost; requires bitmap_ondemand).
 # WRONG RESULTS — never set outside profiling.
 _ablate = None
+
+def trunc_div_magic(d: int, zmax: int):
+    """(mul, shift) with (x * mul) >> shift == x // d for all x in
+    [0, zmax] — exhaustively verified host-side (the kernel's winner-input
+    mode derives the sz bin with it: TPU vector integer division by a
+    non-power-of-two constant has no native lowering, and f32 division is
+    not correctly rounded on this target).  Raises if no 31-bit-safe pair
+    exists (callers then fall back to the legacy pixel-input mode)."""
+    x = np.arange(zmax + 1, dtype=np.int64)
+    want = x // d
+    for s in range(16, 31):
+        m = (1 << s) // d + 1
+        if m * zmax >= 1 << 31:
+            continue
+        if (((x * m) >> s) == want).all():
+            return int(m), int(s)
+    raise ValueError(f"no exact trunc-div magic for d={d}, zmax={zmax}")
+
 
 # Default for ``shadow_call_batched(bitmap_ondemand=None)``: lazy per-word
 # bitmap tiles built inside the word-change refresh (exact either way;
@@ -407,7 +439,10 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
                    meta_off: int, mq: int,
                    lane_groups: int = 1, chunk: int = 8,
                    saturate: bool = False, packed_params: bool = False,
-                   bitmap_ondemand: bool = True, frames: int = 1):
+                   bitmap_ondemand: bool = True, frames: int = 1,
+                   trow_halves: bool = False, winner_inputs: bool = False,
+                   tab_sz_lo: int = 0, view_height: int = 0,
+                   zmul: int = 0, zshift: int = 0):
     """Row-block body on a (frame_blocks, row_blocks) grid — every block
     carries a leading frame dim of ``frames``, so one launch shades a whole
     animation batch and each grid step shades ``frames`` frames' tiles.
@@ -415,14 +450,15 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
     lists stream through blocked SMEM inputs (whole SMEM tables would be
     buffered per grid step, blowing the 1 MB budget).
 
-    Operand windows are MERGED: empty-kernel ablations showed the stage is
-    per-grid-step window fixed cost, not compute, so the 8 per-pixel
-    inputs ride two stacked windows (``pixi`` i32: szidx/bg/ent, ``pixf``
-    f32: oy/oz/ivx/ivy/ivz), the per-candidate i32 param tables one
-    (``ptab``: cword/cmask/centi rows, or the 4 packed rows), and the
-    per-block counts + sz ranges one (``meta``: counts then interleaved
-    [lo, hi) at offset ``meta_off``).  Same bytes move; far fewer window
-    DMAs per step.
+    Window layout: the glue-split ablations (docs/PERF.md rule 14) put
+    the stage's fixed cost in XLA glue copies feeding the kernel, NOT in
+    per-step window count — so the 8 per-pixel inputs ride separate
+    windows straight from their producers (szidx/bg/ent i32, oy/oz/ivx/
+    ivy/ivz f32; no stacking copy), while the cheap-to-concat small
+    tables stay merged: the per-candidate i32 param tables as ``ptab``
+    (cword/cmask/centi rows, or the 4 packed rows) and the per-block
+    counts + sz ranges as ``meta`` (counts then interleaved [lo, hi) at
+    offset ``meta_off``).
 
     ``lane_groups`` > 1 splits the block into that many 128-multiple lane
     tiles, each streaming its own (smaller) pruned candidate list — the
@@ -436,8 +472,14 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
     either way — the refresh reproduces exactly the select chain the
     prebuild runs for that word.
     """
-    trow_ref, tbg_ref, pixi_ref, pixf_ref, out_ref = rest[:5]
-    scratch = rest[5:]
+    nt = 2 if trow_halves else 1
+    n_pix = 5 if winner_inputs else 8
+    n_in = 2 * nt + n_pix
+    trow_refs = rest[:nt]
+    tbg_refs = rest[nt:2 * nt]
+    pix_refs = rest[2 * nt:n_in]
+    out_ref = rest[n_in]
+    scratch = rest[n_in + 1:]
     block = pl.program_id(1)
     g = pl.program_id(2)
     R = rows
@@ -453,21 +495,27 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
     for fb in range(frames):
         _shadow_frame_body(
             fb, block, g, list_row if packed_params else None, ox,
-            meta_ref, ptab_ref, lists_ref, trow_ref, tbg_ref,
-            pixi_ref, pixf_ref, out_ref,
+            meta_ref, ptab_ref, lists_ref, trow_refs, tbg_refs,
+            pix_refs, out_ref,
             scratch, w_pad=w_pad, rows=R, n_words=n_words, n_sz=n_sz,
             meta_off=meta_off, mq=mq,
             lane_groups=G, chunk=chunk, saturate=saturate,
-            packed_params=packed_params, bitmap_ondemand=bitmap_ondemand)
+            packed_params=packed_params, bitmap_ondemand=bitmap_ondemand,
+            winner_inputs=winner_inputs, tab_sz_lo=tab_sz_lo,
+            view_height=view_height, zmul=zmul, zshift=zshift,
+            trow_halves=trow_halves)
 
 
 def _shadow_frame_body(fb, block, g, list_row, ox,
-                       meta_ref, ptab_ref, lists_ref, trow_ref,
-                       tbg_ref, pixi_ref, pixf_ref, out_ref, scratch,
+                       meta_ref, ptab_ref, lists_ref, trow_refs, tbg_refs,
+                       pix_refs, out_ref, scratch,
                        *, w_pad: int, rows: int, n_words: int, n_sz: int,
                        meta_off: int, mq: int,
                        lane_groups: int, chunk: int, saturate: bool,
-                       packed_params: bool, bitmap_ondemand: bool):
+                       packed_params: bool, bitmap_ondemand: bool,
+                       winner_inputs: bool, tab_sz_lo: int,
+                       view_height: int, zmul: int, zshift: int,
+                       trow_halves: bool):
     """One frame's tile of the shadow kernel body (``fb`` indexes the
     frame within the grid step's frame block)."""
     if _ablate is not None and _ablate.startswith("empty"):
@@ -483,18 +531,69 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
     R = rows
     G = lane_groups
     gw = w_pad // G
-    oy = pixf_ref[fb, 0]
-    oz = pixf_ref[fb, 1]
-    ivx = pixf_ref[fb, 2]
-    ivy = pixf_ref[fb, 3]
-    ivz = pixf_ref[fb, 4]
-    szidx = pixi_ref[fb, 0]
-    bg = pixi_ref[fb, 1] > 0
-    ent = pixi_ref[fb, 2]
+    if winner_inputs:
+        # Winner-direct mode: the trace kernel's masked packed picks (A, B)
+        # ride straight in; every per-pixel shadow input derives in VMEM —
+        # exactly the chain gbuffer_from_winners + light_geometry +
+        # models/batched.py run in XLA, op for op:
+        #   hit    = B >= 0                   (miss fields are KEY_MIN)
+        #   sdep   = A & 31;  pz = (B >> 15) - 16384
+        #   z      = hit ? pz + sdep : 0;  y = hit ? world_j - z : 0
+        #   ent    = hit ? A >> 8 : 0
+        #   bg     = (y + z) == 0  ==  !hit   (hits have world_j >= 1)
+        #   oy/oz  = float(y/z)               (exact int converts)
+        #   szidx  = clip(trunc_div(z, bin_size) - sz_lo, 0, SZ-1)
+        # The int->f32 converts and truncating division replicate
+        # cstyle exactly (z is int32; trunc = floor adjusted on z < 0).
+        wa_ref, wb_ref, ivx_ref, ivy_ref, ivz_ref = pix_refs
+        wa = wa_ref[fb]
+        wb = wb_ref[fb]
+        hit = wb >= 0
+        jrow = block * R + jax.lax.broadcasted_iota(jnp.int32, (R, gw), 0)
+        world_j = jnp.int32(view_height) - jrow
+        z = jnp.where(hit, ((wb >> 15) - 16384) + (wa & 31), 0)
+        y = jnp.where(hit, world_j - z, 0)
+        ent = jnp.where(hit, wa >> 8, 0)
+        bg = ~hit
+        oy = y.astype(jnp.float32)
+        oz = z.astype(jnp.float32)
+        # Truncating division by the (non-power-of-two) bin size as a
+        # host-verified multiply-shift (zmul/zshift exact over the packed
+        # |pz| + sdep range by construction — see trunc_div_magic).
+        zq = lambda v: (v * zmul) >> zshift
+        qz = jnp.where(z < 0, -zq(-z), zq(z))
+        szidx = jnp.clip(qz - tab_sz_lo, 0, n_sz - 1)
+    else:
+        (szidx_ref, bg_ref, ent_ref, oy_ref, oz_ref,
+         ivx_ref, ivy_ref, ivz_ref) = pix_refs
+        oy = oy_ref[fb]
+        oz = oz_ref[fb]
+        szidx = szidx_ref[fb]
+        bg = bg_ref[fb] > 0
+        ent = ent_ref[fb]
+    ivx = ivx_ref[fb]
+    ivy = ivy_ref[fb]
+    ivz = ivz_ref[fb]
 
     sz_lo = meta_ref[fb, 0, meta_off + 2 * block]
     sz_hi = meta_ref[fb, 0, meta_off + 2 * block + 1]
     notbg = ~bg
+
+    def trow_row(ridx):
+        """One lane row of the bin-row membership table (halves OR'd)."""
+        if trow_halves:
+            return (trow_refs[0][fb, 0, pl.ds(ridx, 1), :]
+                    | (trow_refs[1][fb, 0, pl.ds(ridx, 1), :]
+                       << jnp.uint32(16)))
+        return trow_refs[0][fb, 0, pl.ds(ridx, 1), :]
+
+    def tbg_row(widx):
+        """One lane row of the background membership table."""
+        if trow_halves:
+            return (tbg_refs[0][fb, pl.ds(widx, 1), :]
+                    | (tbg_refs[1][fb, pl.ds(widx, 1), :]
+                       << jnp.uint32(16)))
+        return tbg_refs[0][fb, pl.ds(widx, 1), :]
 
     if not bitmap_ondemand:
         # Build this tile's per-pixel membership bitmap in VMEM: select the
@@ -504,7 +603,7 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
         # dynamic fori_loop over the block's actual [sz_lo, sz_hi) range
         # (from SMEM) instead of all n_sz cases statically.
         for w in range(n_words):
-            bitmap_scr[w] = jnp.where(bg, tbg_ref[fb, w:w + 1, :],
+            bitmap_scr[w] = jnp.where(bg, tbg_row(w),
                                       jnp.uint32(0))
         # Dedicated always-zero word: padded/invalid candidates index it.
         bitmap_scr[n_words] = jnp.zeros((R, gw), jnp.uint32)
@@ -512,7 +611,7 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
         def sz_body(s, _):
             mask = notbg & (szidx == s)
             for w in range(n_words):
-                rowvec = trow_ref[fb, 0, pl.ds(s * n_words + w, 1), :]
+                rowvec = trow_row(s * n_words + w)
                 bitmap_scr[w] = jnp.where(mask, rowvec, bitmap_scr[w])
             return _
 
@@ -614,7 +713,7 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
                         # prebuild era's dynamic bitmap_scr[word_c] read
                         # moved a whole (R, gw) tile instead.
                         wc = jnp.minimum(word_c, jnp.int32(n_words - 1))
-                        t = jnp.where(bg, tbg_ref[fb, pl.ds(wc, 1), :],
+                        t = jnp.where(bg, tbg_row(wc),
                                       jnp.uint32(0))
 
                         def sz_acc(s, t):
@@ -624,7 +723,7 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
                             ridx = s * n_words + wc
                             if _ablate == "notrow":
                                 ridx = ridx % 8
-                            rowvec = trow_ref[fb, 0, pl.ds(ridx, 1), :]
+                            rowvec = trow_row(ridx)
                             return jnp.where(notbg & (szidx == s), rowvec,
                                              t)
 
@@ -706,8 +805,21 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                         saturate: bool = False,
                         packed_params: bool = False,
                         bitmap_ondemand: bool | None = None,
-                        frames_per_block: int | None = None) -> jax.Array:
+                        frames_per_block: int | None = None,
+                        winners=None) -> jax.Array:
     """Launch the shadow kernel on a (frame_blocks, row_blocks) grid.
+
+    ``winners``: (A, B) masked packed trace picks (F, h, w_pad) i32 — the
+    winner-direct input mode: the kernel derives every per-pixel shadow
+    input (start entity, origin, background flag, sz table row) from the
+    packed fields in VMEM, and ``szidx``/``bg``/``start_ent``/``oy``/``oz``
+    may be passed as None (five HBM pixel buffers and their producing XLA
+    passes disappear).  Requires the trace side's masked packed picks
+    (hit == B >= 0) and full-frame blocks (no row-shard ``row0``).
+
+    ``t_row``/``t_bg`` may each be an (lo, hi) uint32 half pair (from
+    ``lane_member_tables(halves=True)``): the kernel ORs the halves at
+    its word-change row reads, skipping the XLA combine pass.
 
     Every argument leads with the frame axis F (single-frame callers pass
     F=1); with ``lane_groups`` G > 1 each row block carries G per-lane-tile
@@ -742,12 +854,15 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     if bitmap_ondemand is None:
         bitmap_ondemand = BITMAP_ONDEMAND
     cfg = config
-    F, H, w_pad = oy.shape
+    trow_halves = isinstance(t_row, tuple)
+    trows = t_row if trow_halves else (t_row,)
+    tbgs = t_bg if trow_halves else (t_bg,)
+    F, H, w_pad = (winners[0] if winners is not None else oy).shape
     R = rows_per_block
     G = lane_groups
     NB = H // R
     SZ = tables.sz_hi - tables.sz_lo
-    n_words = t_bg.shape[1]
+    n_words = tbgs[0].shape[1]
     if packed_params:
         M = cword.shape[2]
         Mq = M // 128
@@ -766,9 +881,12 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     gw = w_pad // G
 
     # Per-step VMEM for one frame's windows (x2 for Mosaic's double
-    # buffering): 8 pixel inputs + the output block + the bin-row/bg
+    # buffering): pixel inputs + the output block + the bin-row/bg
     # membership tables.
-    frame_bytes = 2 * 4 * (9 * R * gw + (SZ + 1) * n_words * gw)
+    n_pix = 5 if winners is not None else 8
+    frame_bytes = 2 * 4 * ((n_pix + 1) * R * gw
+                           + (2 if trow_halves else 1)
+                           * (SZ + 1) * n_words * gw)
     FB = frames_per_block
     if FB is None:
         FB = max(1, min(FRAMES_PER_BLOCK, (10 << 20) // frame_bytes))
@@ -776,26 +894,41 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
             FB -= 1
     assert F % FB == 0, "frames_per_block must divide the frame count"
 
+    # Winner-input mode: exact multiply-shift constants for the in-kernel
+    # truncating division by bin_size (|z| <= 2^14 + 31 under the packed
+    # pick bounds the mode requires).
+    zmul, zshift = (trunc_div_magic(cfg.bin_size, (1 << 14) + 32)
+                    if winners is not None else (0, 0))
+
     kernel = functools.partial(_shadow_kernel, w_pad=w_pad, rows=R,
                                n_words=n_words, n_sz=SZ, lane_groups=G,
                                meta_off=NB * G, mq=Mq,
                                chunk=chunk, saturate=saturate,
                                packed_params=packed_params,
-                               bitmap_ondemand=bitmap_ondemand, frames=FB)
+                               bitmap_ondemand=bitmap_ondemand, frames=FB,
+                               trow_halves=trow_halves,
+                               winner_inputs=winners is not None,
+                               tab_sz_lo=tables.sz_lo,
+                               view_height=cfg.view_height,
+                               zmul=zmul, zshift=zshift)
 
-    # Merged operand windows (empty-kernel ablations put the stage's cost
-    # in per-grid-step window fixed cost, not compute): the 8 per-pixel
-    # inputs ride TWO stacked windows (same bytes, 6 fewer window DMAs per
-    # step), the i32 candidate param tables ONE, counts + sz ranges ONE.
-    pixi = jnp.stack([szidx.astype(jnp.int32), bg.astype(jnp.int32),
-                      start_ent.astype(jnp.int32)], axis=1)
-    pixf = jnp.stack([oy, oz, ivx, ivy, ivz], axis=1)
+    # Window layout: the glue-split ablations (docs/PERF.md rule 14) showed
+    # the stage floor is XLA glue (pad/stack copies feeding the kernel),
+    # NOT per-step window count — so the per-pixel inputs ride separate
+    # windows straight from their producers (no stacking copy), while the
+    # small broadcast tables (counts + sz ranges; the i32 param tables) are
+    # merged host-side where the concat is cheap.
+    if winners is not None:
+        pixels = (winners[0], winners[1], ivx, ivy, ivz)
+    else:
+        pixels = (szidx.astype(jnp.int32), bg.astype(jnp.int32),
+                  start_ent.astype(jnp.int32), oy, oz, ivx, ivy, ivz)
     meta = jnp.concatenate([blk_counts.astype(jnp.int32),
                             blk_szrange.astype(jnp.int32)],
                            axis=-1)[:, None, :]
 
-    def pix(k):
-        return pl.BlockSpec((FB, k, R, gw), lambda f, i, g: (f, 0, i, g),
+    def pix():
+        return pl.BlockSpec((FB, R, gw), lambda f, i, g: (f, i, g),
                             memory_space=pltpu.VMEM)
 
     if packed_params:
@@ -839,7 +972,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         # Timing-only: shrink the t_row window to an 8-row dummy to bound
         # the membership-table DMA share of the stage.
         assert bitmap_ondemand or _ablate == "emptynotrow"
-        t_row = t_row[:, :, :8]
+        trows = tuple(t[:, :, :8] for t in trows)
         SZN = 8
     else:
         SZN = SZ * n_words
@@ -860,12 +993,11 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
             (FB, 1, 1, 1, 128), lambda f, i, g: (f, i, g, 0, 0),
             memory_space=pltpu.SMEM)
     if emptyv and _ablate == "emptynopix":
-        pixi = pixi[:, :, :8, :]
-        pixf = pixf[:, :, :8, :]
+        pixels = tuple(a[:, :8, :] for a in pixels)
 
-        def pix(k):  # noqa: F811 — timing-only 8-row pixel windows
-            return pl.BlockSpec((FB, k, 8, gw),
-                                lambda f, i, g: (f, 0, 0, g),
+        def pix():  # noqa: F811 — timing-only 8-row pixel windows
+            return pl.BlockSpec((FB, 8, gw),
+                                lambda f, i, g: (f, 0, g),
                                 memory_space=pltpu.VMEM)
     if _ablate == "inputs":
         # Timing-only: assemble and READ every kernel operand (each .sum
@@ -876,12 +1008,19 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         cs = (meta.sum((1, 2))
               + sum(op.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
                     for op in param_ops)
-              + t_row.reshape(F, -1).sum(axis=1).astype(jnp.int32)
-              + t_bg.reshape(F, -1).sum(axis=1).astype(jnp.int32)
-              + pixi.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
-              + pixf.reshape(F, -1).sum(axis=1).astype(jnp.int32))
+              + sum(t.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                    for t in trows)
+              + sum(t.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                    for t in tbgs)
+              + sum(a.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                    for a in pixels))
         return jnp.broadcast_to(cs[:, None, None], (F, H, w_pad)).astype(
             jnp.int32)
+    trow_spec = pl.BlockSpec((FB, 1, SZN, gw),
+                             lambda f, i, g: (f, i // bpr, 0, g),
+                             memory_space=pltpu.VMEM)
+    tbg_spec = pl.BlockSpec((FB, n_words, gw), lambda f, i, g: (f, 0, g),
+                            memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(F // FB, NB, G),
         in_specs=[
@@ -891,12 +1030,9 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                          lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # counts + sz ranges
             *param_specs,
-            pl.BlockSpec((FB, 1, SZN, gw),
-                         lambda f, i, g: (f, i // bpr, 0, g),
-                         memory_space=pltpu.VMEM),    # t_row (per bin row)
-            pl.BlockSpec((FB, n_words, gw), lambda f, i, g: (f, 0, g),
-                         memory_space=pltpu.VMEM),    # t_bg
-            pix(3), pix(5),
+            *([trow_spec] * len(trows)),              # t_row (per bin row)
+            *([tbg_spec] * len(tbgs)),                # t_bg
+            *([pix()] * len(pixels)),
         ],
         out_specs=pl.BlockSpec((FB, R, gw), lambda f, i, g: (f, i, g),
                                memory_space=pltpu.VMEM),
@@ -910,7 +1046,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, H, w_pad), jnp.int32),
         interpret=interpret,
-    )(meta, *param_ops, t_row, t_bg, pixi, pixf)
+    )(meta, *param_ops, *trows, *tbgs, *pixels)
 
 
 def block_sz_ranges(szidx, bg, view_width: int, rows_per_block: int,

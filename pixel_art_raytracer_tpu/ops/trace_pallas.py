@@ -444,14 +444,18 @@ def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
     """One frame's block of the trace kernel body (``fb`` indexes the
     frame within the grid step's frame block)."""
     if packed_picks:
-        (key_ref, a_ref, b_ref, c_ref,
+        # Packed mode has no separate keys output: the A/B/C picks are
+        # masked to KEY_MIN on miss rows, so hit == (B >= 0) downstream
+        # (valid B is nonnegative under the host-proved |pz|/|rowbase|
+        # bounds) — one output window fewer.
+        (a_ref, b_ref, c_ref,
          mkey_scr, empty_scr, keys_scr) = refs
     else:
         (key_ref, ent_ref, sdep_ref, pz_ref, rb_ref, px_ref, sid_ref,
          mkey_scr, empty_scr, keys_scr) = refs
     if _ablate == "empty":
         # Pure floor bound: same grid + operand windows, no kernel work.
-        outs = ((key_ref, a_ref, b_ref, c_ref) if packed_picks
+        outs = ((a_ref, b_ref, c_ref) if packed_picks
                 else (key_ref, ent_ref, sdep_ref, pz_ref, rb_ref, px_ref,
                       sid_ref))
         for ref in outs:
@@ -601,7 +605,8 @@ def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
         else:
             total = jnp.maximum(total, m)
 
-    key_ref[fb] = total
+    if not packed_picks:
+        key_ref[fb] = total
 
     # Phase 3: winner-field resolve (keys are unique, so a masked max over
     # candidates recovers each winner attribute) — saves the epilogue a
@@ -637,9 +642,17 @@ def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
                            axis=0, keepdims=True)
 
         if packed_picks:
-            a_ref[fb, jr:jr + 1, :] = pick(base_a + sdep)
-            b_ref[fb, jr:jr + 1, :] = pick(base_b)
-            c_ref[fb, jr:jr + 1, :] = pick(f0)
+            # Miss rows (total == KEY_MIN) match EVERY stashed KEY_MIN
+            # key, so the raw picks would carry max-over-all-candidates
+            # garbage there; masking them to KEY_MIN lets the decoders
+            # (and the winner-input shadow kernel) recover hit = B >= 0
+            # without a separate keys output.
+            hitrow = total[jr:jr + 1, :] > jnp.int32(KEY_MIN // 2)
+            kmin = jnp.int32(KEY_MIN)
+            a_ref[fb, jr:jr + 1, :] = jnp.where(hitrow,
+                                                pick(base_a + sdep), kmin)
+            b_ref[fb, jr:jr + 1, :] = jnp.where(hitrow, pick(base_b), kmin)
+            c_ref[fb, jr:jr + 1, :] = jnp.where(hitrow, pick(f0), kmin)
         else:
             ent_ref[fb, jr:jr + 1, :] = pick(fent)
             sdep_ref[fb, jr:jr + 1, :] = pick(sdep)
@@ -710,7 +723,7 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     # per-step fixed cost amortises over FB frames' blocks.  VMEM bound:
     # double-buffered table + output windows scale with FB; the keys stash
     # does not (frames run sequentially through it).
-    n_out = 4 if packed_picks else 7
+    n_out = 3 if packed_picks else 7
     step_bytes = 2 * 4 * (tables.shape[1] * n_cands * wt
                           + (n_out + 1) * R * wt)
     stash_bytes = 4 * wt * (R * n_cands + cfg.hash_length * (R + 1))
@@ -836,20 +849,33 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
 
 def gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
                          config: RenderConfig, bands=None, rects=None,
-                         row0=None, n_rows: int | None = None
-                         ) -> GBufferArrays:
+                         row0=None, n_rows: int | None = None,
+                         width: int | None = None) -> GBufferArrays:
     """Decode the kernel's per-pixel winner fields into a G-buffer.
 
     Pure elementwise XLA — batched callers ``jax.vmap`` this over the frame
     axis of the kernel outputs.
+
+    ``width``: lane count to decode (default ``view_width``).  The batched
+    pipeline passes the kernel's padded width so the whole frame stays
+    lane-padded end-to-end — pad lanes decode as background pixels (their
+    keys are KEY_MIN: the expansion tables zero validity beyond the view
+    width), and skipping the narrowing here deletes eight per-field pad
+    copies on the shadow kernel's inputs downstream.
     """
     cfg = config
     H, W = cfg.view_height, cfg.view_width
     if n_rows is None:
         n_rows = H
-    if len(winners) == 4:
+    if width is None:
+        width = W
+    if len(winners) == 3:
         # Packed-picks kernel output: unpack A/B/C (see _trace_kernel).
-        keys, a, b, posx = (x[:, :W] for x in winners)
+        # Misses carry KEY_MIN in every field (masked in-kernel), so
+        # hit == (B >= 0): valid B = (pz+2^14)*2^15 + (rowbase+2^14) is
+        # nonnegative under the host-proved packed bounds.
+        a, b, posx = (x[:, :width] for x in winners)
+        hit = b >= 0
         ent = a >> 8
         sid = (a >> 5) & 7
         sdep = a & 31
@@ -857,15 +883,15 @@ def gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
         rowbase = (b & 32767) - 16384
     else:
         keys, ent, sdep, pz, rowbase, posx, sid = (
-            x[:, :W] for x in winners)
+            x[:, :width] for x in winners)
+        hit = keys > KEY_MIN // 2
 
     # Winner attributes come straight from the kernel; only the per-texel
     # color/normal maps still need gathers.
-    hit = keys > KEY_MIN // 2
     j = jnp.arange(n_rows, dtype=jnp.int32)[:, None]
     if row0 is not None:
         j = j + jnp.asarray(row0, jnp.int32)
-    i = jnp.arange(W, dtype=jnp.int32)[None, :]
+    i = jnp.arange(width, dtype=jnp.int32)[None, :]
     world_j = jnp.int32(H) - j
 
     row = rowbase - world_j
@@ -875,7 +901,7 @@ def gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
              * cfg.sprite_width + jnp.clip(col, 0, cfg.sprite_width - 1))
     if rects is not None:
         # Rect-decomposed color map: select chain, no per-pixel gather.
-        cidx = jnp.zeros((n_rows, W), jnp.int32)
+        cidx = jnp.zeros((n_rows, width), jnp.int32)
         for (s, r0, r1, c0, c1, value) in rects:
             in_rect = ((sid == s) & (row >= r0) & (row < r1)
                        & (col >= c0) & (col < c1))
@@ -886,7 +912,7 @@ def gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
     # Palette resolve as a select chain — palettes are tiny and selects beat
     # a per-pixel gather by ~1 ms/frame on TPU.
     bg = jnp.asarray(cfg.background, jnp.uint8)
-    color = jnp.broadcast_to(bg, (n_rows, W, 4))
+    color = jnp.broadcast_to(bg, (n_rows, width, 4))
     for k in range(palette.shape[0]):
         color = jnp.where((hit & (cidx == k))[..., None], palette[k], color)
 
@@ -894,7 +920,7 @@ def gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
         # Two-band normals via select chains: no per-pixel gathers.
         splits, tops, fronts = (np.asarray(b) for b in bands)
         S = splits.shape[0]
-        normal = jnp.zeros((n_rows, W, 3), jnp.float32)
+        normal = jnp.zeros((n_rows, width, 3), jnp.float32)
         for k in range(S):
             is_k = hit & (sid == k)
             top_band = (row < int(splits[k]))[..., None]
@@ -919,7 +945,9 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                                 rows_per_block: int = 8,
                                 packed_picks: bool = False,
                                 slot_cap: int | None = None,
-                                field_pack: bool = False) -> GBufferArrays:
+                                field_pack: bool = False,
+                                wide: bool = False,
+                                return_winners: bool = False):
     """Primary visibility for a whole animation batch in ONE kernel launch.
 
     ``bins_ent`` (F, V, cap) / ``counts`` (F, V): per-frame bin tables (from
@@ -973,7 +1001,15 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                                winners_with(None))
     else:
         winners = winners_with(None)()
-    return jax.vmap(
+    # ``wide``: decode all w_pad lanes so the downstream shadow stage needs
+    # no per-field pad copies (pad lanes decode as background pixels).
+    gbuf = jax.vmap(
         lambda w: gbuffer_from_winners(w, atlas_color, atlas_normal,
-                                       palette, cfg, bands, rects)
+                                       palette, cfg, bands, rects,
+                                       width=w_pad if wide else None)
     )(winners)
+    if return_winners:
+        # Winner-direct shadow mode: the shadow kernel re-derives its
+        # per-pixel inputs from the masked packed picks in VMEM.
+        return gbuf, winners
+    return gbuf

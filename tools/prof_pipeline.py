@@ -53,6 +53,8 @@ def main() -> None:
                     help="force the unpacked shadow candidate params")
     ap.add_argument("--box-pack-sweep", action="store_true",
                     help="sweep packed vs unpacked shadow params in-run")
+    ap.add_argument("--winner-sweep", action="store_true",
+                    help="sweep winner-direct vs legacy shadow inputs")
     ap.add_argument("--bitmap-sweep", action="store_true",
                     help="sweep on-demand vs prebuilt kernel bitmaps in-run")
     ap.add_argument("--ikeys-sweep", action="store_true",
@@ -138,6 +140,8 @@ def main() -> None:
 
         packs = ([True, False] if args.box_pack_sweep
                  else [r.shadow_box_pack])
+        winner_modes = ([True, False] if args.winner_sweep
+                        else [r.shadow_winner_inputs])
         bitmaps = ([True, False] if args.bitmap_sweep
                    else [shadow_pallas.BITMAP_ONDEMAND])
         ikeys = ([True, False] if args.ikeys_sweep
@@ -162,14 +166,16 @@ def main() -> None:
                         for bp in packs:
                             import itertools
 
-                            for bo, ik, fpb, tfpb, scap in \
+                            for bo, ik, fpb, tfpb, scap, wm in \
                                     itertools.product(bitmaps, ikeys,
-                                                      fpbs, tfpbs, scaps):
+                                                      fpbs, tfpbs, scaps,
+                                                      winner_modes):
                                 key = (rows, groups, trows, ch, bp,
-                                       bo, ik, fpb, tfpb, scap)
+                                       bo, ik, fpb, tfpb, scap, wm)
                                 if any(e[0] == key for e in entries):
                                     continue
                                 r.shadow_box_pack = bp
+                                r.shadow_winner_inputs = wm
                                 shadow_pallas.BITMAP_ONDEMAND = bo
                                 trace_pallas.INCREMENTAL_KEYS = ik
                                 shadow_pallas.FRAMES_PER_BLOCK = fpb
@@ -192,13 +198,13 @@ def main() -> None:
                     best = min(best, _t.perf_counter() - t0)
                 ts.append(best)
         rays = 2 * cfg.view_width * cfg.view_height * F
-        for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb, scap), _, ts \
-                in entries:
+        for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb, scap,
+             wm), _, ts in entries:
             med = float(np.median(ts))
             lo = float(np.min(ts))
             print(f"R={rows} G={groups} TR={trows} C={ch} pack={int(bp)} "
                   f"od={int(bo)} ik={int(ik)} fpb={fpb} tfpb={tfpb} "
-                  f"cap={scap} FULL "
+                  f"cap={scap} wm={int(wm)} FULL "
                   f"med {med*1e3:8.2f} ms ({med*1e3/F:6.3f} ms/f, "
                   f"{rays/med/1e6:6.1f} Mr/s)  best {lo*1e3:8.2f} "
                   f"({lo*1e3/F:6.3f})")
@@ -206,7 +212,7 @@ def main() -> None:
             import time as _t
 
             for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb,
-                 scap), fn, _ in entries:
+                 scap, wm), fn, _ in entries:
                 def burst(p, l, n=args.pipeline):
                     outs = [fn(p, l) for _ in range(n)]
                     return [np.asarray(o) for o in outs]
