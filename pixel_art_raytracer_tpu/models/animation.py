@@ -103,8 +103,12 @@ class AnimationRenderer:
         # candidate list (per-corridor pruning, vectorized).  G=2 vs G=4
         # measured EQUAL within noise on v5e graybox (interleaved A/B at
         # F=64; sequential comparisons drift by up to 0.07 ms/frame with
-        # ambient tunnel load — see CLAUDE.md round-3 notes).
-        self.shadow_lane_groups = 2
+        # ambient tunnel load — see CLAUDE.md round-3 notes).  Post
+        # winner-direct, G=1 edged G=2 in two separate interleaved
+        # sessions (0.801 vs 0.813, then 0.807 vs 0.826 ms/frame FULL at
+        # F=64) — half the grid steps now wins since the per-step window
+        # floor dominates the kernel body.
+        self.shadow_lane_groups = 1
         # Trace-kernel screen rows per block (must divide bin_size and the
         # view height, sublane multiple).  Whole-bin-row blocks read each
         # bin row's candidate table slice ONCE instead of bin_size/R times

@@ -105,6 +105,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     # Column-compaction needs the runtime overflow reroute (a lax.cond),
     # which vmapped contexts can't afford — require the guard.
     ncc = trace_compact if r.shadow_guard == "fallback" else None
+    kexp = bool(getattr(r, "trace_kernel_expand", False))
     if upto in ("texp", "tkeys"):
         d0, slope, segs = trace_pallas._resolve_depth_params(
             dscene.atlas_color, params, r.depth_segments)
@@ -115,7 +116,8 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             lambda be, cnt, dp: trace_pallas._expand_tables(
                 dscene.pos, dscene.ext, dscene.sprite_id, d0, slope,
                 be, cnt, cfg, w_pad, dyn_pos=dp,
-                field_pack=r.trace_field_pack, ent_fields=ef)
+                field_pack=r.trace_field_pack, ent_fields=ef,
+                expand=not kexp)
         )(bins_ent, counts, dyn_pos)
         if upto == "texp":
             # Sum in the table dtype (the _texp_upto profiling cuts return
@@ -124,7 +126,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             return tab.reshape(F, -1).sum(axis=1).astype(jnp.int32)
         winners = trace_pallas.trace_keys_pallas(
             tab, cfg, segments=segs, rows_per_block=trace_rows,
-            packed_picks=r.trace_packed)
+            packed_picks=r.trace_packed, kernel_expand=kexp)
         return sum(wi.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
                    for wi in winners)
 
@@ -145,7 +147,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         packed_picks=r.trace_packed,
         slot_cap=None if ncc is not None else trace_slot_cap,
         field_pack=r.trace_field_pack, wide=True,
-        return_winners=winner_mode)
+        return_winners=winner_mode, kernel_expand=kexp)
     if winner_mode:
         gbuf, (win_a, win_b, _) = gbuf
 
@@ -180,8 +182,15 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         w_pad, lane_groups if w_pad % (lane_groups * 128) == 0 else 1)
 
     def light_pass(lights_f, upto=None):
-        """Stages 3-4 for one (F, 3) light set -> (tl, lit) (or an ``upto``
-        checksum array)."""
+        """Stages 3-4 for one (F, 3) light set -> (dot, lit) (or an
+        ``upto`` checksum array).
+
+        Returns the Lambert DOT (already computed for the shadow-needed
+        mask) instead of ``tl``: the shade step derives its factor from it
+        directly, so ``gbuf.normal`` — a (F, h, w_pad, 3) f32 buffer the
+        old ``brightness_factor(normal, tl, ...)`` recomputation forced to
+        materialise — fuses into the dot and never hits HBM.  Same float
+        ops in the same order as ops.shade.brightness_factor."""
         tl, inv, _, rb_g, lb = jax.vmap(
             lambda g, l: shade_ops.light_geometry(g, l, cfg))(gbuf, lights_f)
         # Shadow-needed mask: a pixel with Lambert dot <= 0 shades to the
@@ -340,7 +349,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
 
         if upto == "shadow":
             return lit.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
-        return tl, lit
+        return dot, lit
 
     def light_pass_dir(dirs_f):
         """Stages 3-4 for one (F, 3) float32 direction set -> (dot, lit).
@@ -495,13 +504,13 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         ambient = f32(cfg.ambient)
         diffuse = jnp.zeros(gbuf.y.shape, f32)
         for li in range(L):
-            tl, lit = light_pass(lights_l[:, li])
-            fl = shade_ops.brightness_factor(gbuf.normal, tl, lit, cfg)
+            dot, lit = light_pass(lights_l[:, li])
+            fl = shade_ops.factor_from_dot(dot, lit, cfg)
             diffuse = diffuse + jnp.maximum(fl - ambient, 0.0)
         factor = jnp.minimum(1.0, ambient + diffuse)
     else:
-        tl, lit = light_pass(lights_l[:, 0])
-        factor = shade_ops.brightness_factor(gbuf.normal, tl, lit, cfg)
+        dot, lit = light_pass(lights_l[:, 0])
+        factor = shade_ops.factor_from_dot(dot, lit, cfg)
     if r.style == "dithered":
         from ..ops.dither import shade_dithered
 

@@ -117,6 +117,15 @@ class DeferredRenderer:
         # szidx/bg/ent/oy/oz from the trace winners in VMEM, deleting five
         # HBM pixel buffers and their producing XLA passes per frame.
         self.shadow_winner_inputs = True
+        # Kernel-side trace-table lane expansion (batched pipeline): the
+        # trace kernel reads the SMALL pre-expansion table and runs the
+        # lane-selection matmul on the MXU in VMEM — the expanded table
+        # (the compiled program's single largest HBM buffer, 7.3 MB/frame
+        # write + read) never materialises.  Same contraction, same
+        # HIGHEST precision, same < 2^24 value envelope as the XLA
+        # expansion — exactness-equivalent wherever the Pallas tracer
+        # runs at all.
+        self.trace_kernel_expand = True
         # Set once the jitted pipeline has traced with this renderer as a
         # static argument; configure_for() refuses to mutate after that
         # (the compile cache would silently keep the stale parameters).
@@ -246,7 +255,8 @@ class DeferredRenderer:
                 params, self.normal_bands,
                 self.color_rects, self.depth_segments, row0, n_rows,
                 packed_picks=self.trace_packed,
-                field_pack=self.trace_field_pack)
+                field_pack=self.trace_field_pack,
+                kernel_expand=self.trace_kernel_expand)
         assert row0 is None and n_rows is None, \
             "row windows are a Pallas-path feature (jnp shards via GSPMD)"
         return trace.trace_pixels(dscene.pos, dscene.ext, dscene.sprite_id,

@@ -112,9 +112,17 @@ def max_needed_steps(rb, lb) -> jax.Array:
 def brightness_factor(normal, tl, lit, config: RenderConfig) -> jax.Array:
     """min(1, Lambert + ambient) where lit, ambient elsewhere
     (alternative.cpp:734-758)."""
-    f32 = jnp.float32
     dot = (normal[..., 0] * tl[0] + normal[..., 1] * tl[1]
            + normal[..., 2] * tl[2])
+    return factor_from_dot(dot, lit, config)
+
+
+def factor_from_dot(dot, lit, config: RenderConfig) -> jax.Array:
+    """``brightness_factor`` from a precomputed Lambert dot — callers that
+    already computed the dot (e.g. for the shadow-needed mask) pass it
+    directly so the normal buffer can fuse away instead of materialising
+    for a recomputation.  Same float ops in the same order."""
+    f32 = jnp.float32
     diffuse = c_max(f32(0.0), dot)                    # std::max<float>(0, ·)
     brightness = c_min(f32(1.0), diffuse + f32(config.ambient))
     return jnp.where(lit, brightness, f32(config.ambient))

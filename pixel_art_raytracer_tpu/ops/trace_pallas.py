@@ -245,7 +245,8 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
                    n_compact: int | None = None,
                    slot_cap: int | None = None,
                    field_pack: bool = False,
-                   ent_fields=None):
+                   ent_fields=None,
+                   expand: bool = True):
     """Build lane-expanded candidate field tables.
 
     Returns a stacked array ``[n_fields, HH, C*HL, w_pad]`` int32 with field
@@ -281,6 +282,16 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
     stays slice-based.  Exact only when every bin count <= slot_cap;
     callers guard with max(counts) and reroute to the full-cap kernel
     (graybox peaks at 6 of 8).  Mutually exclusive with ``n_compact``.
+
+    ``expand=False``: skip the lane expansion and return the SMALL table
+    ``[n_fields, HH, C*HL, KP]`` int32 (KP = hash_width rounded up to a
+    sublane multiple, zero-padded) for the kernel-side MXU expansion
+    (``trace_keys_pallas(kernel_expand=True)``).  The compiled-program
+    census put the expanded table at 7.3 MB/frame of HBM write plus the
+    same read back in the kernel — the largest single buffer in the
+    batched program; expanding inside the kernel deletes both.  Field
+    values are identical (the XLA path's f32 matmul was exact, so the
+    pass-through changes nothing).
     """
     cfg = config
     HW, HH, HL = cfg.hash_width, cfg.hash_height, cfg.hash_length
@@ -366,6 +377,9 @@ def _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent, counts,
     # so the f32 contraction is exact.  Padding lanes get valid=0.
     assert pos.shape[0] < (1 << 24), \
         "entity ids must stay f32-exact for the MXU lane expansion"
+    if not expand:
+        KP = -(-HW // 8) * 8
+        return jnp.pad(stacked, ((0, 0),) * 3 + ((0, KP - HW),))
     sel = lane_select_matrix(cfg, w_pad)
     NCt = stacked.shape[2]
     if _texp_upto == "small":
@@ -406,7 +420,8 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
                   rows_per_block: int, n_cands: int, nc2: int, w_pad: int,
                   segments=None, compact: bool = False,
                   packed_picks: bool = False,
-                  packed_fields: bool = False, frames: int = 1):
+                  packed_fields: bool = False, frames: int = 1,
+                  kernel_expand: bool = False):
     """Row-block body.  Blocks carry a leading frame dim of ``frames``: the
     grid is (frame_blocks, row_blocks, lane_tiles), so one launch traces a
     whole animation batch and each grid step traces ``frames`` frames'
@@ -422,9 +437,19 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
     B = (pz + 2^14)*2^15 + (rowbase + 2^14), C = posx — the epilogue
     unpacks.  Callers must prove the bounds host-side (ent < 2^18,
     sid < 8, sdep < 32, |pz| and |rowbase| < 2^14); scenes outside them
-    use the unpacked kernel."""
+    use the unpacked kernel.
+
+    ``kernel_expand``: the table window is the SMALL (n_f, 1, NC, KP)
+    pre-expansion table plus a (KP, wt) 0/1 lane-selection operand; the
+    lane expansion runs on the MXU in VMEM (exactly the XLA expansion's
+    contraction, HIGHEST precision) — ~22 MB/frame of HBM table traffic
+    (write + cast round-trip + kernel read) disappears."""
     # w_pad here is the LANE-TILE width (the full padded width divided by
     # the lane-tile grid axis); lane_i carries the global lane index.
+    if kernel_expand:
+        sel_ref, refs = refs[0], refs[1:]
+    else:
+        sel_ref = None
     wt0 = pl.program_id(2) * w_pad
     lane_i = (jax.lax.broadcasted_iota(jnp.int32, (n_cands, w_pad), 1)
               + wt0)
@@ -434,13 +459,13 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
                           config=config, rows_per_block=rows_per_block,
                           n_cands=n_cands, nc2=nc2, segments=segments,
                           compact=compact, packed_picks=packed_picks,
-                          packed_fields=packed_fields)
+                          packed_fields=packed_fields, sel_ref=sel_ref)
 
 
 def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
                       config, rows_per_block: int, n_cands: int, nc2: int,
                       segments, compact: bool, packed_picks: bool,
-                      packed_fields: bool):
+                      packed_fields: bool, sel_ref=None):
     """One frame's block of the trace kernel body (``fb`` indexes the
     frame within the grid step's frame block)."""
     if packed_picks:
@@ -469,11 +494,33 @@ def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
     H = cfg.view_height
     R = rows_per_block
 
+    if sel_ref is None:
+        def trow(i):
+            return tab_ref[fb, i, 0]
+    else:
+        # Kernel-side lane expansion: ONE MXU contraction expands every
+        # field row of the small (n_f*NC, KP) table to (n_f*NC, wt) —
+        # the same 0/1 selection matmul the XLA path ran per frame, at
+        # HIGHEST precision (field values carry up to 24 mantissa bits;
+        # the default single bf16 pass would truncate them).  The i32 ->
+        # f32 -> i32 round trip is exact for |v| < 2^24 (the same bound
+        # the XLA expansion already asserts).
+        n_f = tab_ref.shape[1]
+        flat = (tab_ref[fb].reshape(n_f * n_cands, tab_ref.shape[-1])
+                .astype(jnp.float32))
+        exp = jax.lax.dot_general(
+            flat, sel_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        tabv = exp.astype(jnp.int32)              # (n_f*NC, wt)
+
+        def trow(i):
+            return tabv[i * n_cands:(i + 1) * n_cands]
     if packed_fields:
         # Two packed rows (see _expand_tables field_pack): unpack once per
         # block — a handful of vector shifts amortised over all phases.
-        pa = tab_ref[fb, 0, 0]
-        pb = tab_ref[fb, 1, 0]
+        pa = trow(0)
+        pb = trow(1)
         valid = pa & 1
         fsid = (pa >> 1) & 7
         f6 = (pa >> 4) & 31
@@ -481,26 +528,26 @@ def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
         f5 = (pa >> 11) & 63
         f0 = (pb & 4095) - 2048
         f1 = (pb >> 12) - 2048
-        f2 = tab_ref[fb, 2, 0]
-        f3 = tab_ref[fb, 3, 0]
-        f4 = tab_ref[fb, 4, 0]
-        fent = tab_ref[fb, 5, 0]
-        fpz = tab_ref[fb, 6, 0]
-        fbinz = tab_ref[fb, 7, 0] if compact else None
+        f2 = trow(2)
+        f3 = trow(3)
+        f4 = trow(4)
+        fent = trow(5)
+        fpz = trow(6)
+        fbinz = trow(7) if compact else None
     else:
-        valid = tab_ref[fb, 0, 0]
-        f0 = tab_ref[fb, 1, 0]
-        f1 = tab_ref[fb, 2, 0]
-        f2 = tab_ref[fb, 3, 0]
-        f3 = tab_ref[fb, 4, 0]
-        f4 = tab_ref[fb, 5, 0]
-        f5 = tab_ref[fb, 6, 0]
-        f6 = tab_ref[fb, 7, 0]
-        f7 = tab_ref[fb, 8, 0]
-        fent = tab_ref[fb, 9, 0]
-        fpz = tab_ref[fb, 10, 0]
-        fsid = tab_ref[fb, 11, 0]
-        fbinz = tab_ref[fb, 12, 0] if compact else None
+        valid = trow(0)
+        f0 = trow(1)
+        f1 = trow(2)
+        f2 = trow(3)
+        f3 = trow(4)
+        f4 = trow(5)
+        f5 = trow(6)
+        f6 = trow(7)
+        f7 = trow(8)
+        fent = trow(9)
+        fpz = trow(10)
+        fsid = trow(11)
+        fbinz = trow(12) if compact else None
 
     # Per-bin empty masks (jr-independent): row b holds bin b's emptiness.
     for b in range(HL):
@@ -667,7 +714,8 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
                       segments=None, row0=None, n_rows: int | None = None,
                       packed_picks: bool = False,
                       max_lane_tile: int = 1024,
-                      frames_per_block: int | None = None):
+                      frames_per_block: int | None = None,
+                      kernel_expand: bool = False):
     """Run the kernel; returns per-pixel winning keys (n_rows, w_pad) int32.
 
     ``tables`` may carry a leading frame axis (F, n_fields, HH, NC, w_pad):
@@ -687,6 +735,11 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     into 512-lane tiles (VMEM scratch and table slices scale with the
     tile, not the frame width — a 4096-wide supersampled frame would
     otherwise blow the ~16 MB VMEM budget).
+
+    ``kernel_expand``: ``tables`` is the SMALL pre-expansion table
+    ``(F, n_fields, HH, NC, KP)`` (``_expand_tables(expand=False)``); the
+    kernel runs the lane-expansion matmul itself against a (KP, w_pad)
+    selection operand — see ``_trace_kernel``.
     """
     cfg = config
     batched = tables.ndim == 5
@@ -724,7 +777,9 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     # double-buffered table + output windows scale with FB; the keys stash
     # does not (frames run sequentially through it).
     n_out = 3 if packed_picks else 7
-    step_bytes = 2 * 4 * (tables.shape[1] * n_cands * wt
+    # VMEM window bytes per step: the small table lane-pads KP -> 128.
+    tab_w = 128 if kernel_expand else wt
+    step_bytes = 2 * 4 * (tables.shape[1] * n_cands * tab_w
                           + (n_out + 1) * R * wt)
     stash_bytes = 4 * wt * (R * n_cands + cfg.hash_length * (R + 1))
     FB = frames_per_block
@@ -743,21 +798,32 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
                                rows_per_block=R, n_cands=n_cands, nc2=nc2,
                                w_pad=wt, segments=segments,
                                compact=compact, packed_picks=packed_picks,
-                               packed_fields=packed_fields, frames=FB)
+                               packed_fields=packed_fields, frames=FB,
+                               kernel_expand=kernel_expand)
     # Interpreter mode on non-TPU backends (CPU tests validate the kernel
     # logic; compiled Mosaic runs on real TPUs).
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     out = jax.ShapeDtypeStruct((F, n_rows, w_pad), jnp.int32)
     spec = pl.BlockSpec((FB, R, wt), lambda f, i, w, *_: (f, i, w),
                         memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(
+        (FB, tables.shape[1], 1, n_cands,
+         tables.shape[4] if kernel_expand else wt),
+        lambda f, i, w, row0_ref: (f, 0, (row0_ref[0] + i * R) // bs,
+                                   0, 0 if kernel_expand else w),
+        memory_space=pltpu.VMEM)]
+    operands = [tables]
+    if kernel_expand:
+        KP = tables.shape[4]
+        selm = lane_select_matrix(cfg, w_pad)
+        selm = jnp.pad(selm, ((0, KP - selm.shape[0]), (0, 0)))
+        in_specs.append(pl.BlockSpec((KP, wt), lambda f, i, w, *_: (0, w),
+                                     memory_space=pltpu.VMEM))
+        operands.append(selm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # row0
         grid=(F // FB, n_rows // R, WT),
-        in_specs=[pl.BlockSpec(
-            (FB, tables.shape[1], 1, n_cands, wt),
-            lambda f, i, w, row0_ref: (f, 0, (row0_ref[0] + i * R) // bs,
-                                       0, w),
-            memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=(spec,) * n_out,
         scratch_shapes=[
             pltpu.VMEM((cfg.hash_length * R, wt), jnp.int32),
@@ -770,7 +836,7 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=(out,) * n_out,
-    )(row0, tables)
+    )(row0, *operands)
     if not batched:
         outs = tuple(o[0] for o in outs)
     return outs
@@ -820,7 +886,8 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
                         rects=None, segments=None, row0=None,
                         n_rows: int | None = None,
                         packed_picks: bool = False,
-                        field_pack: bool = False) -> GBufferArrays:
+                        field_pack: bool = False,
+                        kernel_expand: bool = False) -> GBufferArrays:
     """Drop-in replacement for ops.trace.trace_pixels on atlases whose depth
     maps are ramps or piecewise ramps (any column-constant map).
 
@@ -839,10 +906,12 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
                                                 segments)
     w_pad = -(-cfg.view_width // 128) * 128
     tables = _expand_tables(pos, ext, sprite_id, d0, slope, bins_ent,
-                            counts, cfg, w_pad, field_pack=field_pack)
+                            counts, cfg, w_pad, field_pack=field_pack,
+                            expand=not kernel_expand)
     winners = trace_keys_pallas(tables, cfg, segments=segments,
                                 row0=row0, n_rows=n_rows,
-                                packed_picks=packed_picks)
+                                packed_picks=packed_picks,
+                                kernel_expand=kernel_expand)
     return gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
                                 cfg, bands, rects, row0, n_rows)
 
@@ -947,7 +1016,8 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                                 slot_cap: int | None = None,
                                 field_pack: bool = False,
                                 wide: bool = False,
-                                return_winners: bool = False):
+                                return_winners: bool = False,
+                                kernel_expand: bool = False):
     """Primary visibility for a whole animation batch in ONE kernel launch.
 
     ``bins_ent`` (F, V, cap) / ``counts`` (F, V): per-frame bin tables (from
@@ -976,11 +1046,13 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                 lambda be, cnt, dp: _expand_tables(
                     pos, ext, sprite_id, d0, slope, be, cnt, cfg, w_pad,
                     dyn_pos=dp, n_compact=ncc, slot_cap=sc,
-                    field_pack=field_pack, ent_fields=ef)
+                    field_pack=field_pack, ent_fields=ef,
+                    expand=not kernel_expand)
             )(bins_ent, counts, dyn_pos)
             return trace_keys_pallas(tables, cfg, segments=segments,
                                      rows_per_block=rows_per_block,
-                                     packed_picks=packed_picks)
+                                     packed_picks=packed_picks,
+                                     kernel_expand=kernel_expand)
         return fn
 
     if n_compact is not None:

@@ -70,6 +70,11 @@ def census(hlo_text: str):
             break
         if not in_entry:
             continue
+        mm = re.search(r'metadata={[^}]*op_name="([^"]*)"', line)
+        src = mm.group(1) if mm else ""
+        sm = re.search(r'source_file="([^"]*)".*?source_line=(\d+)', line)
+        if sm:
+            src += f"  {pathlib.Path(sm.group(1)).name}:{sm.group(2)}"
         m = _INSTR_RE.match(line.split(" metadata=")[0])
         if not m:
             continue
@@ -86,7 +91,7 @@ def census(hlo_text: str):
             cm = re.search(r'calls=%?([\w.\-]+)', line)
             if cm:
                 name = f"{name}:{cm.group(1)}"
-        biggest.append((b, kind, name, line.strip()[:160]))
+        biggest.append((b, kind, name, src))
     biggest.sort(reverse=True)
     return by_op, biggest
 
@@ -167,8 +172,10 @@ def main() -> None:
         print(f"  {op:28s} n={n:4d}  out={b/1e6:10.1f} MB "
               f"({b/F/1e3:8.1f} KB/frame)")
     print(f"\ntop {args.top} instructions by output bytes:")
-    for b, kind, name, line in biggest[:args.top]:
+    for b, kind, name, src in biggest[:args.top]:
         print(f"  {b/1e6:9.1f} MB  {kind:20s} {name}")
+        if src:
+            print(f"               {src[:150]}")
 
 
 if __name__ == "__main__":

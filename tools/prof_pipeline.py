@@ -53,6 +53,9 @@ def main() -> None:
                     help="force the unpacked shadow candidate params")
     ap.add_argument("--box-pack-sweep", action="store_true",
                     help="sweep packed vs unpacked shadow params in-run")
+    ap.add_argument("--kexp-sweep", action="store_true",
+                    help="A/B kernel-side trace-table lane expansion "
+                         "(r.trace_kernel_expand)")
     ap.add_argument("--winner-sweep", action="store_true",
                     help="sweep winner-direct vs legacy shadow inputs")
     ap.add_argument("--bitmap-sweep", action="store_true",
@@ -142,6 +145,8 @@ def main() -> None:
                  else [r.shadow_box_pack])
         winner_modes = ([True, False] if args.winner_sweep
                         else [r.shadow_winner_inputs])
+        kexps = ([True, False] if args.kexp_sweep
+                 else [r.trace_kernel_expand])
         bitmaps = ([True, False] if args.bitmap_sweep
                    else [shadow_pallas.BITMAP_ONDEMAND])
         ikeys = ([True, False] if args.ikeys_sweep
@@ -166,16 +171,17 @@ def main() -> None:
                         for bp in packs:
                             import itertools
 
-                            for bo, ik, fpb, tfpb, scap, wm in \
+                            for bo, ik, fpb, tfpb, scap, wm, kx in \
                                     itertools.product(bitmaps, ikeys,
                                                       fpbs, tfpbs, scaps,
-                                                      winner_modes):
+                                                      winner_modes, kexps):
                                 key = (rows, groups, trows, ch, bp,
-                                       bo, ik, fpb, tfpb, scap, wm)
+                                       bo, ik, fpb, tfpb, scap, wm, kx)
                                 if any(e[0] == key for e in entries):
                                     continue
                                 r.shadow_box_pack = bp
                                 r.shadow_winner_inputs = wm
+                                r.trace_kernel_expand = kx
                                 shadow_pallas.BITMAP_ONDEMAND = bo
                                 trace_pallas.INCREMENTAL_KEYS = ik
                                 shadow_pallas.FRAMES_PER_BLOCK = fpb
@@ -199,12 +205,12 @@ def main() -> None:
                 ts.append(best)
         rays = 2 * cfg.view_width * cfg.view_height * F
         for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb, scap,
-             wm), _, ts in entries:
+             wm, kx), _, ts in entries:
             med = float(np.median(ts))
             lo = float(np.min(ts))
             print(f"R={rows} G={groups} TR={trows} C={ch} pack={int(bp)} "
                   f"od={int(bo)} ik={int(ik)} fpb={fpb} tfpb={tfpb} "
-                  f"cap={scap} wm={int(wm)} FULL "
+                  f"cap={scap} wm={int(wm)} kx={int(kx)} FULL "
                   f"med {med*1e3:8.2f} ms ({med*1e3/F:6.3f} ms/f, "
                   f"{rays/med/1e6:6.1f} Mr/s)  best {lo*1e3:8.2f} "
                   f"({lo*1e3/F:6.3f})")
@@ -212,7 +218,7 @@ def main() -> None:
             import time as _t
 
             for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb,
-                 scap, wm), fn, _ in entries:
+                 scap, wm, kx), fn, _ in entries:
                 def burst(p, l, n=args.pipeline):
                     outs = [fn(p, l) for _ in range(n)]
                     return [np.asarray(o) for o in outs]
