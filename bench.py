@@ -39,8 +39,17 @@ import time
 import numpy as np
 
 
-def measure_cpp_baseline(scene, light, config) -> float:
-    """Reference-equivalent single-thread C++ Mrays/s on this host."""
+def measure_cpp_baseline(scene, light, config):
+    """Reference-equivalent single-thread C++ Mrays/s on this host.
+
+    Returns (mrays, conditions): ``conditions`` records the host-load
+    evidence for the measurement — 1-minute loadavg before the runs plus
+    the best/worst per-run spread — so a contended baseline (which
+    inflates vs_baseline 2x) is visible in the artifact instead of
+    silently swinging the headline ratio (VERDICT r3 weak-point #3).
+    """
+    import os
+
     from pixel_art_raytracer_tpu.runtime import native
 
     if not native.native_available():
@@ -49,16 +58,34 @@ def measure_cpp_baseline(scene, light, config) -> float:
         raise RuntimeError(
             "native C++ oracle unavailable (no toolchain?) — cannot measure "
             "the reference baseline; refusing to fabricate one")
+    loadavg = os.getloadavg()[0]
     # Best-of-5: the C++ number is load-sensitive (contended runs read 2x
     # slow, inflating our ratio) — callers measure BEFORE spinning up the
     # TPU work so the baseline gets an idle host.
-    best = float("inf")
+    times = []
     for _ in range(5):
         t0 = time.perf_counter()
         native.cpp_render_frame(scene, light)
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
     rays = 2 * config.view_width * config.view_height
-    return rays / best / 1e6
+    runs = sorted(rays / t / 1e6 for t in times)
+    # Contention heuristics: a busy host (loadavg ~ core count) or a wide
+    # per-run spread (>25%) both mark the ratio as suspect.
+    contended = bool(loadavg > max(2.0, 0.5 * (os.cpu_count() or 2))
+                     or runs[0] < 0.75 * runs[-1])
+    conditions = {
+        "loadavg_1m": round(loadavg, 2),
+        "runs_best": round(runs[-1], 2),
+        "runs_worst": round(runs[0], 2),
+        "cpu_count": os.cpu_count(),
+        "contended": contended,
+    }
+    if contended:
+        print(f"# WARNING: baseline measured under load "
+              f"(loadavg {loadavg:.1f}, spread {runs[0]:.2f}-"
+              f"{runs[-1]:.2f} Mrays/s) — vs_baseline is inflated",
+              file=sys.stderr)
+    return runs[-1], conditions
 
 
 def time_runs(fn, *args, iters: int = 3) -> float:
@@ -108,7 +135,8 @@ def main() -> None:
     light = default_light(config)
     # Baseline first: the single-thread C++ measurement needs an idle host
     # (the TPU client's dispatch threads slow it 2x, inflating our ratio).
-    baseline = measure_cpp_baseline(scene, light, config)
+    baseline, baseline_conditions = measure_cpp_baseline(scene, light,
+                                                         config)
     # Device probe AFTER the baseline (the TPU client's dispatch threads
     # contend the single-thread C++ measurement), bounded so a downed
     # tunnel errors out instead of hanging the bench forever.
@@ -227,6 +255,7 @@ def main() -> None:
         "checksum_fused_center": round(fused_center, 2),
         "frames": n_frames,
         "baseline_cpp_mrays": round(baseline, 2),
+        "baseline_conditions": baseline_conditions,
         "parity": parity,
     }))
     if not parity:

@@ -778,6 +778,13 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     # does not (frames run sequentially through it).
     n_out = 3 if packed_picks else 7
     # VMEM window bytes per step: the small table lane-pads KP -> 128.
+    # NOTE (ADVICE r3): this budget assumes FB=1 (the measured default —
+    # TRACE_FRAMES_PER_BLOCK pins it).  With kernel_expand the kernel body
+    # additionally materialises expansion temporaries — flat (n_f*NC, KP)
+    # f32 plus exp/tabv (n_f*NC, wt) f32+i32 (~2.6-5 MB at full capacity)
+    # and the (KP, wt) sel window — that this formula does NOT count; add
+    # them before ever raising FB or growing shapes toward the ~16 MB
+    # scoped-vmem edge.
     tab_w = 128 if kernel_expand else wt
     step_bytes = 2 * 4 * (tables.shape[1] * n_cands * tab_w
                           + (n_out + 1) * R * wt)

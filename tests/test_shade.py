@@ -67,6 +67,28 @@ class TestShadePixelExact:
         assert (vals > 25).any()
 
 
+class TestKernelPathGolden:
+    """Default-tier Pallas-vs-oracle golden (VERDICT r3 #5): both Mosaic
+    kernels (trace + shadow, interpret mode on CPU) against the NumPy
+    oracle — and the C++ oracle when built — so ``pytest -q`` alone
+    certifies kernel parity without the slow graybox tier.  Golden
+    semantics: alternative.cpp:271-500."""
+
+    def test_trace_and_shadow_kernels_vs_oracle(self):
+        scene = demo_world(8)
+        light = Light(150, 170, 90)
+        r = DeferredRenderer(DEFAULT_CONFIG, shadow_impl="pallas",
+                             trace_impl="pallas")
+        r.configure_for(scene)
+        ds = DeviceScene.from_scene(scene, DEFAULT_CONFIG)
+        img_j = np.asarray(r.render(ds, light.as_array()))
+        img_p, _ = oracle.render_frame(scene, light)
+        np.testing.assert_array_equal(img_j, img_p)
+        if native.native_available():
+            img_c, _ = native.cpp_render_frame(scene, light)
+            np.testing.assert_array_equal(img_j, img_c)
+
+
 @pytest.mark.slow
 class TestGoldenGraybox:
     """The flagship golden gate: full 480x320 graybox frame, three-way."""
