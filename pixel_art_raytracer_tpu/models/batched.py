@@ -139,6 +139,18 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     winner_mode = bool(r.trace_packed
                        and getattr(r, "shadow_winner_inputs", True)
                        and not directional)
+    # Shade-in-kernel (winner mode only): the shadow kernel emits packed
+    # RGB and the lit mask, the XLA color chains, and the factor math
+    # never materialise — see shadow_pallas._shadow_frame_body's shade
+    # epilogue.  Multi-light accumulation needs per-light lit masks, the
+    # dithered style re-quantises, and the texel-gather color path has no
+    # static rect decomposition — all keep the lit-mask output.
+    shade_kernel = bool(winner_mode
+                        and getattr(r, "shadow_shade_kernel", True)
+                        and lights.ndim == 2
+                        and r.style == "reference"
+                        and r.color_rects is not None
+                        and upto is None)
     gbuf = trace_pallas.trace_pixels_pallas_batched(
         dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
         dscene.atlas_normal, dscene.palette, bins_ent, counts, dyn_pos,
@@ -149,7 +161,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         field_pack=r.trace_field_pack, wide=True,
         return_winners=winner_mode, kernel_expand=kexp)
     if winner_mode:
-        gbuf, (win_a, win_b, _) = gbuf
+        gbuf, (win_a, win_b, win_c) = gbuf
 
     if upto == "trace":
         mix = (gbuf.entity_index + gbuf.y + gbuf.z
@@ -248,19 +260,35 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         if upto == "lists":
             return (blk_counts.reshape(F, -1).sum(axis=1)
                     + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32))
-        # Half-pair membership tables: the expansion matmuls emit the u32
-        # halves directly and the kernel ORs them at its word-change row
-        # reads — the XLA combine pass (a full-table write + two reads)
-        # disappears.
-        t_row, t_bg = jax.vmap(
-            lambda w: shadow_pallas.lane_member_tables(w, cfg, tables, R,
-                                                       w_pad, halves=True)
-        )(words)
+        member_expand = bool(getattr(r, "shadow_member_expand", True))
+        if member_expand:
+            # SMALL membership tables: the kernel runs the lane-expansion
+            # contraction itself per grid step (MXU, VMEM) — the two
+            # largest HBM buffers of the round-3 cost census (the
+            # half-expansion dot fusions, ~7 MB/frame written + read
+            # back by the kernel's t_row windows) never materialise.
+            msmall = jax.vmap(
+                lambda w: shadow_pallas.member_row_tables_small(
+                    w, cfg, tables)
+            )(words)
+            t_row = t_bg = None
+            trow_cs = (msmall,)
+        else:
+            # Half-pair membership tables: the expansion matmuls emit the
+            # u32 halves directly and the kernel ORs them at its
+            # word-change row reads — the XLA combine pass (a full-table
+            # write + two reads) disappears.
+            msmall = None
+            t_row, t_bg = jax.vmap(
+                lambda w: shadow_pallas.lane_member_tables(
+                    w, cfg, tables, R, w_pad, halves=True)
+            )(words)
+            trow_cs = t_row + t_bg
         if upto == "trow":
             return (blk_counts.reshape(F, -1).sum(axis=1)
                     + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
                     + sum(t.reshape(F, -1).sum(axis=1).astype(jnp.int32)
-                          for t in t_row + t_bg))
+                          for t in trow_cs))
         box_pack = getattr(r, "shadow_box_pack", False)
         if box_pack:
             cword, cmask, box, centi = jax.vmap(
@@ -280,21 +308,31 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             return (blk_counts.reshape(F, -1).sum(axis=1)
                     + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
                     + sum(t.reshape(F, -1).sum(axis=1).astype(jnp.int32)
-                          for t in t_row)
+                          for t in trow_cs)
                     + cword.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
                     + cmask.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
                     + box.reshape(F, -1).sum(axis=1).astype(jnp.int32)
                     + iv_p[0].reshape(F, -1).sum(axis=1).astype(jnp.int32))
 
+        shade_spec = None
+        if shade_kernel:
+            shade_spec = (dot, win_c, tuple(r.color_rects),
+                          tuple(p[:3] for p in cfg.palette),
+                          cfg.background[:3], cfg.ambient)
+
         def fast_lit():
             if winner_mode:
-                lit_pad = shadow_pallas.shadow_call_batched(
+                out_pad = shadow_pallas.shadow_call_batched(
                     blk_counts.reshape(F, -1), szr, cword, cmask,
                     lists.reshape(F, H // R, -1, 128),
                     box, centi, t_row, t_bg, None, None, None, None, None,
                     iv_p[0], iv_p[1], iv_p[2], cfg, tables,
                     rows_per_block=R, lane_groups=G, chunk=shadow_chunk,
-                    packed_params=box_pack, winners=(win_a, win_b))
+                    packed_params=box_pack, winners=(win_a, win_b),
+                    member_small=msmall, shade=shade_spec)
+                # Shade-in-kernel: the output is packed RGB, not a lit
+                # mask — pass it through.
+                return out_pad if shade_kernel else out_pad > 0
             else:
                 lit_pad = shadow_pallas.shadow_call_batched(
                     blk_counts.reshape(F, -1), szr, cword, cmask,
@@ -302,7 +340,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                     box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
                     iv_p[0], iv_p[1], iv_p[2], cfg, tables,
                     rows_per_block=R, lane_groups=G, chunk=shadow_chunk,
-                    packed_params=box_pack)
+                    packed_params=box_pack, member_small=msmall)
             return lit_pad > 0
 
         if r.shadow_guard == "fallback":
@@ -339,14 +377,26 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                     return trace_light_dynamic(pos_f, dscene.ext, be, cnt,
                                                rbf, lbf, g, of, invf, cfg)
 
-                return jax.lax.map(
+                lit = jax.lax.map(
                     one, (players, gbuf.entity_index, rb_g, lb, origin,
                           inv))
+                if not shade_kernel:
+                    return lit
+                # Shade-in-kernel fast branch emits packed RGB: the exact
+                # reroute packs the identical shade math (same dot, same
+                # color chains, same truncation) so both cond branches
+                # return the same structure and pixels.
+                factor = shade_ops.factor_from_dot(dot, lit, cfg)
+                ci = (gbuf.color[..., :3].astype(f32)
+                      * factor[..., None]).astype(jnp.int32)
+                return ci[..., 0] | (ci[..., 1] << 8) | (ci[..., 2] << 16)
 
             lit = jax.lax.cond(ok, fast_lit, slow_lit)
         else:
             lit = fast_lit()
 
+        if shade_kernel:
+            return lit                       # packed RGB (F, H, w_pad)
         if upto == "shadow":
             return lit.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
         return dot, lit
@@ -508,6 +558,13 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             fl = shade_ops.factor_from_dot(dot, lit, cfg)
             diffuse = diffuse + jnp.maximum(fl - ambient, 0.0)
         factor = jnp.minimum(1.0, ambient + diffuse)
+    elif shade_kernel:
+        # Shade-in-kernel: the shadow kernel already emitted packed RGB —
+        # the epilogue only unpacks (three shifts + a cast).
+        packed = light_pass(lights_l[:, 0])
+        rgb = jnp.stack([packed & 255, (packed >> 8) & 255,
+                         (packed >> 16) & 255], axis=-1)
+        return rgb[:, :, :W].astype(jnp.uint8)
     else:
         dot, lit = light_pass(lights_l[:, 0])
         factor = shade_ops.factor_from_dot(dot, lit, cfg)

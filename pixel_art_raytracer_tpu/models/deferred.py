@@ -129,6 +129,21 @@ class DeferredRenderer:
         # noise); the default is ON for the HBM-buffer deletion (smaller
         # program footprint), not a throughput win.
         self.trace_kernel_expand = True
+        # Kernel-side membership-table lane expansion (batched pipeline):
+        # the shadow kernel expands each block's bin-row start-space table
+        # over lanes itself (one small MXU contraction per grid step) —
+        # the lane-expanded tables, the round-3 cost census's two largest
+        # HBM buffers (~7 MB/frame written by XLA + read back through the
+        # kernel's t_row windows), never materialise.  Exactness: the
+        # identical 0/1 selection contraction at HIGHEST precision.
+        self.shadow_member_expand = True
+        # Shade-in-kernel (batched pipeline, winner-direct + point light +
+        # reference style + rect-decomposable color maps): the shadow
+        # kernel derives the final packed RGB in VMEM — the lit mask, the
+        # XLA color select chains, and the factor math never round-trip
+        # HBM; the epilogue just unpacks.  Other configurations keep the
+        # lit-mask output.
+        self.shadow_shade_kernel = True
         # Set once the jitted pipeline has traced with this renderer as a
         # static argument; configure_for() refuses to mutate after that
         # (the compile cache would silently keep the stale parameters).
@@ -143,12 +158,17 @@ class DeferredRenderer:
         a compile are not picked up for already-traced shapes.  Calling it
         after a render raises unless the derived parameters are unchanged."""
         from ..ops.trace_pallas import (normal_bands, color_rects,
-                                        depth_segments)
+                                        depth_segments, depth_rects)
 
         spans = self.spans_for(scene)
         bands = normal_bands(np.asarray(scene.atlas.normal))
         rects = color_rects(np.asarray(scene.atlas.color))
+        # Depth decomposition ladder: column-constant row segments, then
+        # arbitrary-map ramp rects (clip-exact per-texel semantics); maps
+        # too fragmented for either fall back to the jnp tracer's gather.
         segs = depth_segments(np.asarray(scene.atlas.depth))
+        if segs is None:
+            segs = depth_rects(np.asarray(scene.atlas.depth))
         tables = self.shadow_tables
         if tables is None and self.shadow_impl in ("fast", "pallas"):
             # Content-derived shadow tables: smaller sz range and candidate

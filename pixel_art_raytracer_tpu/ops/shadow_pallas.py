@@ -294,6 +294,56 @@ def candidate_lists_from_relc(relc):
     return order.astype(jnp.int32), counts
 
 
+def member_row_tables_small(member_words, config: RenderConfig,
+                            tables: ShadowTables, row0=0,
+                            n_rows: int | None = None):
+    """SMALL (pre-expansion) membership tables for the kernel-side MXU
+    lane expansion (``shadow_call_batched(member_small=...)``).
+
+    The lane-expanded ``lane_member_tables`` were the compiled batched
+    program's two largest HBM writers (the round-3 cost census put the two
+    half-expansion dot fusions at ~7 MB/frame written, read back by the
+    kernel's t_row windows).  This variant keeps the table in start-bin
+    space — (n_sy, 2*(SZ+1)*nw, KXP) int32, ~100x smaller — and the
+    shadow kernel expands each block's bin row over lanes itself with the
+    SAME 0/1 lane-selection contraction at HIGHEST precision (16-bit word
+    halves; exactness-equivalent to the XLA expansion by construction).
+
+    Row layout per bin row: rows [0, (SZ+1)*nw) are the LO 16-bit halves
+    of membership word ``w`` for sz row ``s`` at flat index ``s*nw + w``
+    — with ``s == SZ`` the background start row — and rows
+    [(SZ+1)*nw, 2*(SZ+1)*nw) the HI halves.  Minor dim = hash_width
+    padded to a sublane multiple (zero lanes select nothing).
+    """
+    cfg = config
+    SY = cfg.hash_height + 1
+    SZ = tables.sz_hi - tables.sz_lo
+    nw = member_words.shape[1]
+    SX = cfg.hash_width
+    if n_rows is None:
+        n_rows = cfg.view_height
+    n_sy = -(-n_rows // cfg.bin_size)
+
+    m = member_words.reshape(SX, SY, SZ, nw)
+    block_sy = (jnp.asarray(row0, jnp.int32) // cfg.bin_size
+                + jnp.arange(n_sy, dtype=jnp.int32))
+    rows = jnp.moveaxis(m[:, block_sy], 1, 0)          # (n_sy, SX, SZ, nw)
+    rows = jnp.moveaxis(rows, 1, 3)                    # (n_sy, SZ, nw, SX)
+
+    from .cstyle import c_div
+
+    sy_bg = min(int(c_div(cfg.view_height, cfg.bin_size)), SY - 1)
+    bgr = jnp.moveaxis(m[:, sy_bg, -tables.sz_lo], 0, 1)       # (nw, SX)
+    full = jnp.concatenate(
+        [rows.reshape(n_sy, SZ * nw, SX),
+         jnp.broadcast_to(bgr[None], (n_sy, nw, SX))], axis=1)
+    lo = (full & jnp.uint32(0xffff)).astype(jnp.int32)
+    hi = (full >> jnp.uint32(16)).astype(jnp.int32)
+    tab = jnp.concatenate([lo, hi], axis=1)   # (n_sy, 2*(SZ+1)*nw, SX)
+    KXP = -(-SX // 8) * 8
+    return jnp.pad(tab, ((0, 0), (0, 0), (0, KXP - SX)))
+
+
 def lane_member_tables(member_words, config: RenderConfig,
                        tables: ShadowTables, rows_per_block: int,
                        w_pad: int, row0=0, n_rows: int | None = None,
@@ -442,7 +492,8 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
                    bitmap_ondemand: bool = True, frames: int = 1,
                    trow_halves: bool = False, winner_inputs: bool = False,
                    tab_sz_lo: int = 0, view_height: int = 0,
-                   zmul: int = 0, zshift: int = 0):
+                   zmul: int = 0, zshift: int = 0,
+                   member_expand: bool = False, shade=None):
     """Row-block body on a (frame_blocks, row_blocks) grid — every block
     carries a leading frame dim of ``frames``, so one launch shades a whole
     animation batch and each grid step shades ``frames`` frames' tiles.
@@ -472,14 +523,20 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
     either way — the refresh reproduces exactly the select chain the
     prebuild runs for that word.
     """
-    nt = 2 if trow_halves else 1
-    n_pix = 5 if winner_inputs else 8
-    n_in = 2 * nt + n_pix
-    trow_refs = rest[:nt]
-    tbg_refs = rest[nt:2 * nt]
-    pix_refs = rest[2 * nt:n_in]
-    out_ref = rest[n_in]
-    scratch = rest[n_in + 1:]
+    if member_expand:
+        mtab_ref, msel_ref = rest[:2]
+        rest = rest[2:]
+        trow_refs = tbg_refs = ()
+    else:
+        mtab_ref = msel_ref = None
+        nt = 2 if trow_halves else 1
+        trow_refs = rest[:nt]
+        tbg_refs = rest[nt:2 * nt]
+        rest = rest[2 * nt:]
+    n_pix = (7 if shade is not None else 5) if winner_inputs else 8
+    pix_refs = rest[:n_pix]
+    out_ref = rest[n_pix]
+    scratch = rest[n_pix + 1:]
     block = pl.program_id(1)
     g = pl.program_id(2)
     R = rows
@@ -494,28 +551,30 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
     ox = lane.astype(jnp.float32)
     for fb in range(frames):
         _shadow_frame_body(
-            fb, block, g, list_row if packed_params else None, ox,
+            fb, block, g, list_row if packed_params else None, ox, lane,
             meta_ref, ptab_ref, lists_ref, trow_refs, tbg_refs,
-            pix_refs, out_ref,
+            mtab_ref, msel_ref, pix_refs, out_ref,
             scratch, w_pad=w_pad, rows=R, n_words=n_words, n_sz=n_sz,
             meta_off=meta_off, mq=mq,
             lane_groups=G, chunk=chunk, saturate=saturate,
             packed_params=packed_params, bitmap_ondemand=bitmap_ondemand,
             winner_inputs=winner_inputs, tab_sz_lo=tab_sz_lo,
             view_height=view_height, zmul=zmul, zshift=zshift,
-            trow_halves=trow_halves)
+            trow_halves=trow_halves, member_expand=member_expand,
+            shade=shade)
 
 
-def _shadow_frame_body(fb, block, g, list_row, ox,
+def _shadow_frame_body(fb, block, g, list_row, ox, lane,
                        meta_ref, ptab_ref, lists_ref, trow_refs, tbg_refs,
-                       pix_refs, out_ref, scratch,
+                       mtab_ref, msel_ref, pix_refs, out_ref, scratch,
                        *, w_pad: int, rows: int, n_words: int, n_sz: int,
                        meta_off: int, mq: int,
                        lane_groups: int, chunk: int, saturate: bool,
                        packed_params: bool, bitmap_ondemand: bool,
                        winner_inputs: bool, tab_sz_lo: int,
                        view_height: int, zmul: int, zshift: int,
-                       trow_halves: bool):
+                       trow_halves: bool, member_expand: bool = False,
+                       shade=None):
     """One frame's tile of the shadow kernel body (``fb`` indexes the
     frame within the grid step's frame block)."""
     if _ablate is not None and _ablate.startswith("empty"):
@@ -524,6 +583,8 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
         # driver, isolating that window's per-step DMA/fill share.
         out_ref[fb] = jnp.ones(out_ref.shape[1:], jnp.int32)
         return
+    if member_expand:
+        mexp_scr, *scratch = scratch
     if bitmap_ondemand:
         (wcur_scr,) = scratch
     else:
@@ -545,7 +606,11 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
         #   szidx  = clip(trunc_div(z, bin_size) - sz_lo, 0, SZ-1)
         # The int->f32 converts and truncating division replicate
         # cstyle exactly (z is int32; trunc = floor adjusted on z < 0).
-        wa_ref, wb_ref, ivx_ref, ivy_ref, ivz_ref = pix_refs
+        if shade is not None:
+            (wa_ref, wb_ref, wc_ref, dot_ref,
+             ivx_ref, ivy_ref, ivz_ref) = pix_refs
+        else:
+            wa_ref, wb_ref, ivx_ref, ivy_ref, ivz_ref = pix_refs
         wa = wa_ref[fb]
         wb = wb_ref[fb]
         hit = wb >= 0
@@ -579,21 +644,51 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
     sz_hi = meta_ref[fb, 0, meta_off + 2 * block + 1]
     notbg = ~bg
 
-    def trow_row(ridx):
-        """One lane row of the bin-row membership table (halves OR'd)."""
-        if trow_halves:
-            return (trow_refs[0][fb, 0, pl.ds(ridx, 1), :]
-                    | (trow_refs[1][fb, 0, pl.ds(ridx, 1), :]
-                       << jnp.uint32(16)))
-        return trow_refs[0][fb, 0, pl.ds(ridx, 1), :]
+    if member_expand:
+        # Kernel-side lane expansion of this block's bin-row membership
+        # table: ONE MXU contraction per grid step expands the SMALL
+        # (2*(SZ+1)*nw, KXP) start-space table over this tile's lanes —
+        # exactly the 0/1 selection matmul the XLA lane_member_tables ran
+        # per frame, at HIGHEST precision (16-bit word halves; a default
+        # bf16 pass would truncate them).  The ~7 MB/frame the XLA
+        # expansion wrote to HBM (and the kernel's t_row windows read
+        # back) never materialises; the expanded rows live in VMEM
+        # scratch for the word-change reads below.
+        mt = mtab_ref.shape[2]
+        half = mt // 2
+        flat = mtab_ref[fb, 0].astype(jnp.float32)
+        exp = jax.lax.dot_general(
+            flat, msel_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        ei = exp.astype(jnp.int32)
+        mexp_scr[:] = (ei[:half].astype(jnp.uint32)
+                       | (ei[half:].astype(jnp.uint32) << jnp.uint32(16)))
 
-    def tbg_row(widx):
-        """One lane row of the background membership table."""
-        if trow_halves:
-            return (tbg_refs[0][fb, pl.ds(widx, 1), :]
-                    | (tbg_refs[1][fb, pl.ds(widx, 1), :]
-                       << jnp.uint32(16)))
-        return tbg_refs[0][fb, pl.ds(widx, 1), :]
+        def trow_row(ridx):
+            return mexp_scr[pl.ds(ridx, 1), :]
+
+        def tbg_row(widx):
+            # Background start rows sit at sz index n_sz of the small
+            # table (member_row_tables_small row layout).
+            return mexp_scr[pl.ds(n_sz * n_words + widx, 1), :]
+    else:
+        def trow_row(ridx):
+            """One lane row of the bin-row membership table (halves
+            OR'd)."""
+            if trow_halves:
+                return (trow_refs[0][fb, 0, pl.ds(ridx, 1), :]
+                        | (trow_refs[1][fb, 0, pl.ds(ridx, 1), :]
+                           << jnp.uint32(16)))
+            return trow_refs[0][fb, 0, pl.ds(ridx, 1), :]
+
+        def tbg_row(widx):
+            """One lane row of the background membership table."""
+            if trow_halves:
+                return (tbg_refs[0][fb, pl.ds(widx, 1), :]
+                        | (tbg_refs[1][fb, pl.ds(widx, 1), :]
+                           << jnp.uint32(16)))
+            return tbg_refs[0][fb, pl.ds(widx, 1), :]
 
     if not bitmap_ondemand:
         # Build this tile's per-pixel membership bitmap in VMEM: select the
@@ -791,7 +886,49 @@ def _shadow_frame_body(fb, block, g, list_row, ox,
                                               (jnp.int32(0), carry0))
     else:
         occluded, _ = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
-    out_ref[fb] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
+    if shade is None:
+        out_ref[fb] = jnp.where(occluded > 0, 0, 1).astype(jnp.int32)
+        return
+    # Shade-in-kernel epilogue (winner-input mode only): the final pixel
+    # never leaves VMEM as a separate lit mask — the kernel emits packed
+    # RGB (r | g<<8 | b<<16) and the XLA epilogue only unpacks.  Every
+    # float op replicates ops/shade.py (factor_from_dot) and the
+    # gbuffer_from_winners rects/palette select chains, op for op, on the
+    # same operand values: ``dot`` rides in as the SAME materialised f32
+    # buffer the XLA shade would read, ``lit`` is the kernel's own
+    # occlusion result, color values are static palette entries.
+    # Reference lighting loop: alternative.cpp:702-760; u8 truncation
+    # sprites.hpp:8-16.
+    rects, palette_rgb, background, ambient = shade
+    f32 = jnp.float32
+    dot = dot_ref[fb]
+    lit = occluded == 0
+    amb = f32(ambient)
+    # c_max(0, dot): where(0 < dot, dot, 0) — NaN dots keep 0.
+    diffuse = jnp.where(f32(0.0) < dot, dot, f32(0.0))
+    s = diffuse + amb
+    # c_min(1, s): where(s < 1, s, 1).
+    bright = jnp.where(s < f32(1.0), s, f32(1.0))
+    factor = jnp.where(lit, bright, amb)
+    # Winner attribute decode (same fields gbuffer_from_winners reads).
+    sid = (wa >> 5) & 7
+    rowbase = (wb & 32767) - 16384
+    srow = rowbase - world_j
+    scol = lane - wc_ref[fb]
+    cidx = jnp.zeros((R, gw), jnp.int32)
+    for (sk, r0, r1, c0, c1, value) in rects:
+        in_rect = ((sid == sk) & (srow >= r0) & (srow < r1)
+                   & (scol >= c0) & (scol < c1))
+        cidx = jnp.where(in_rect, value, cidx)
+    chans = []
+    for ch in range(3):
+        cv = jnp.full((R, gw), f32(background[ch]))
+        for k in range(len(palette_rgb)):
+            cv = jnp.where(hit & (cidx == k), f32(palette_rgb[k][ch]), cv)
+        # trunc(color * factor) — f32 -> i32 truncates toward zero, same
+        # as the reference's u8 cast for these in-range values.
+        chans.append((cv * factor).astype(jnp.int32))
+    out_ref[fb] = chans[0] | (chans[1] << 8) | (chans[2] << 16)
 
 
 def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
@@ -806,8 +943,23 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                         packed_params: bool = False,
                         bitmap_ondemand: bool | None = None,
                         frames_per_block: int | None = None,
-                        winners=None) -> jax.Array:
+                        winners=None, member_small=None,
+                        shade=None) -> jax.Array:
     """Launch the shadow kernel on a (frame_blocks, row_blocks) grid.
+
+    ``member_small``: (F, n_sy, 2*(SZ+1)*nw, KXP) int32 small membership
+    tables (``member_row_tables_small``) — the kernel expands each
+    block's bin row over lanes itself on the MXU and ``t_row``/``t_bg``
+    may be None: the lane-expanded tables (the compiled program's two
+    largest HBM buffers) never materialise.
+
+    ``shade`` (winner-input mode only): (dot, win_c, rects, palette_rgb,
+    background, ambient) — the kernel shades its tile in VMEM and the
+    output becomes PACKED RGB int32 (r | g<<8 | b<<16) instead of the
+    lit mask; ``dot`` is the (F, h, w_pad) f32 Lambert dot (the same
+    buffer the XLA shade would read), ``win_c`` the trace kernel's posx
+    pick, and the rest static host values (color_rects decomposition,
+    palette RGB rows, background RGB, ambient).
 
     ``winners``: (A, B) masked packed trace picks (F, h, w_pad) i32 — the
     winner-direct input mode: the kernel derives every per-pixel shadow
@@ -854,15 +1006,26 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     if bitmap_ondemand is None:
         bitmap_ondemand = BITMAP_ONDEMAND
     cfg = config
-    trow_halves = isinstance(t_row, tuple)
-    trows = t_row if trow_halves else (t_row,)
-    tbgs = t_bg if trow_halves else (t_bg,)
+    member_expand = member_small is not None
+    if member_expand:
+        trow_halves = False
+        trows, tbgs = (), ()
+    else:
+        trow_halves = isinstance(t_row, tuple)
+        trows = t_row if trow_halves else (t_row,)
+        tbgs = t_bg if trow_halves else (t_bg,)
     F, H, w_pad = (winners[0] if winners is not None else oy).shape
     R = rows_per_block
     G = lane_groups
     NB = H // R
     SZ = tables.sz_hi - tables.sz_lo
-    n_words = tbgs[0].shape[1]
+    if member_expand:
+        n_words = member_small.shape[2] // (2 * (SZ + 1))
+        assert member_small.shape[2] == 2 * (SZ + 1) * n_words
+    else:
+        n_words = tbgs[0].shape[1]
+    assert shade is None or winners is not None, \
+        "shade-in-kernel requires winner-direct inputs"
     if packed_params:
         M = cword.shape[2]
         Mq = M // 128
@@ -883,10 +1046,11 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     # Per-step VMEM for one frame's windows (x2 for Mosaic's double
     # buffering): pixel inputs + the output block + the bin-row/bg
     # membership tables.
-    n_pix = 5 if winners is not None else 8
+    n_pix = (7 if shade is not None else 5) if winners is not None else 8
     frame_bytes = 2 * 4 * ((n_pix + 1) * R * gw
-                           + (2 if trow_halves else 1)
-                           * (SZ + 1) * n_words * gw)
+                           + (0 if member_expand else
+                              (2 if trow_halves else 1)
+                              * (SZ + 1) * n_words * gw))
     FB = frames_per_block
     if FB is None:
         FB = max(1, min(FRAMES_PER_BLOCK, (10 << 20) // frame_bytes))
@@ -910,7 +1074,9 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                                winner_inputs=winners is not None,
                                tab_sz_lo=tables.sz_lo,
                                view_height=cfg.view_height,
-                               zmul=zmul, zshift=zshift)
+                               zmul=zmul, zshift=zshift,
+                               member_expand=member_expand,
+                               shade=None if shade is None else shade[2:])
 
     # Window layout: the glue-split ablations (docs/PERF.md rule 14) showed
     # the stage floor is XLA glue (pad/stack copies feeding the kernel),
@@ -919,7 +1085,11 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     # small broadcast tables (counts + sz ranges; the i32 param tables) are
     # merged host-side where the concat is cheap.
     if winners is not None:
-        pixels = (winners[0], winners[1], ivx, ivy, ivz)
+        if shade is not None:
+            pixels = (winners[0], winners[1], shade[1], shade[0],
+                      ivx, ivy, ivz)
+        else:
+            pixels = (winners[0], winners[1], ivx, ivy, ivz)
     else:
         pixels = (szidx.astype(jnp.int32), bg.astype(jnp.int32),
                   start_ent.astype(jnp.int32), oy, oz, ivx, ivy, ivz)
@@ -968,7 +1138,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     # SMEM specs only buffer their few-KB block — counts, bin ids, and the
     # per-tile pruned candidate list use that.  Lane groups ride the third
     # grid axis: every pixel operand is lane-blocked to the tile.
-    if _ablate in ("notrow", "emptynotrow"):
+    if _ablate in ("notrow", "emptynotrow") and not member_expand:
         # Timing-only: shrink the t_row window to an 8-row dummy to bound
         # the membership-table DMA share of the stage.
         assert bitmap_ondemand or _ablate == "emptynotrow"
@@ -976,6 +1146,25 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         SZN = 8
     else:
         SZN = SZ * n_words
+
+    if member_expand:
+        from .trace_pallas import lane_select_matrix
+
+        KXP = member_small.shape[3]
+        MT = member_small.shape[2]
+        selm = lane_select_matrix(cfg, w_pad)
+        selm = jnp.pad(selm, ((0, KXP - selm.shape[0]), (0, 0)))
+        member_ops = (member_small, selm)
+        member_specs = [
+            pl.BlockSpec((FB, 1, MT, KXP),
+                         lambda f, i, g: (f, i // bpr, 0, 0),
+                         memory_space=pltpu.VMEM),     # small member table
+            pl.BlockSpec((KXP, gw), lambda f, i, g: (0, g),
+                         memory_space=pltpu.VMEM),     # lane selection
+        ]
+        member_scratch = [pltpu.VMEM(((SZ + 1) * n_words, gw), jnp.uint32)]
+    else:
+        member_ops, member_specs, member_scratch = (), [], []
 
     # Timing-only "empty*" ablations: the empty kernel body reads no
     # operand, so shrinking individual windows (same grid, same body)
@@ -1012,6 +1201,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                     for t in trows)
               + sum(t.reshape(F, -1).sum(axis=1).astype(jnp.int32)
                     for t in tbgs)
+              + sum(t.reshape(F, -1).sum(axis=1).astype(jnp.int32)
+                    for t in member_ops[:1])
               + sum(a.reshape(F, -1).sum(axis=1).astype(jnp.int32)
                     for a in pixels))
         return jnp.broadcast_to(cs[:, None, None], (F, H, w_pad)).astype(
@@ -1032,13 +1223,15 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
             *param_specs,
             *([trow_spec] * len(trows)),              # t_row (per bin row)
             *([tbg_spec] * len(tbgs)),                # t_bg
+            *member_specs,                            # small table + sel
             *([pix()] * len(pixels)),
         ],
         out_specs=pl.BlockSpec((FB, R, gw), lambda f, i, g: (f, i, g),
                                memory_space=pltpu.VMEM),
         scratch_shapes=(
-            ([] if bitmap_ondemand
-             else [pltpu.VMEM((n_words + 1, R, gw), jnp.uint32)])
+            member_scratch
+            + ([] if bitmap_ondemand
+               else [pltpu.VMEM((n_words + 1, R, gw), jnp.uint32)])
             + [pltpu.VMEM((R, gw), jnp.uint32)]),
     )
     return pl.pallas_call(
@@ -1046,7 +1239,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, H, w_pad), jnp.int32),
         interpret=interpret,
-    )(meta, *param_ops, *trows, *tbgs, *pixels)
+    )(meta, *param_ops, *trows, *tbgs, *member_ops, *pixels)
 
 
 def block_sz_ranges(szidx, bg, view_width: int, rows_per_block: int,

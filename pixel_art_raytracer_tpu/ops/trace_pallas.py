@@ -113,6 +113,54 @@ def depth_segments(depth: np.ndarray, max_segments: int = 64):
     return tuple(segs)
 
 
+def depth_rects(depth: np.ndarray, max_rects: int = 96):
+    """Fit 2D ramp rectangles to ARBITRARY depth maps (VERDICT r3 #4).
+
+    Generalises :func:`depth_segments` beyond column-constant maps: every
+    depth map decomposes into rectangles (sprite, r0, r1, c0, c1, d0,
+    slope) with ``depth[r, c] == d0 - slope * (r - r0)`` inside each rect
+    (blocky pixel art yields a handful; the cap bounds the kernel's select
+    chain).  The kernel then resolves sprite depth on CLIPPED texel
+    coordinates — ``clip(row, 0, SH-1)``, ``clip(col, 0, SW-1)`` — which
+    reproduces the reference's per-texel gather (alternative.cpp:336-341,
+    as transcribed in ops/trace.py:110-113) exactly for every reachable
+    (row, col), in or out of the sprite window.
+
+    Returns a tuple of 7-tuples, or None when the decomposition exceeds
+    ``max_rects`` (the jnp tracer's gather then handles the atlas).
+    """
+    S, H, W = depth.shape
+    rects = []
+    for s in range(S):
+        open_runs: dict = {}                     # (r0, r1, d0, slope) -> c0
+        for c in range(W + 1):
+            segs = set()
+            if c < W:
+                d = depth[s, :, c].astype(np.int64)
+                r0 = 0
+                while r0 < H:
+                    if r0 + 1 == H:
+                        segs.add((r0, H, int(d[r0]), 0))
+                        break
+                    slope = int(d[r0] - d[r0 + 1])
+                    r1 = r0 + 1
+                    while r1 < H and d[r1] == d[r0] - slope * (r1 - r0):
+                        r1 += 1
+                    segs.add((r0, r1, int(d[r0]), slope))
+                    r0 = r1
+            for run in list(open_runs):
+                if run not in segs:
+                    c0 = open_runs.pop(run)
+                    rects.append((s, run[0], run[1], c0, c,
+                                  run[2], run[3]))
+            for run in segs:
+                if run not in open_runs:
+                    open_runs[run] = c
+        if len(rects) > max_rects:
+            return None
+    return tuple(rects)
+
+
 def normal_bands(normal: np.ndarray):
     """Detect two-band row-split normal maps: rows [0, split) share one
     normal, rows [split, H) another (the shipped tile: top face (0,1,0),
@@ -568,12 +616,31 @@ def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
     lane_ok = (valid > 0) & (lane_i >= f0) & (lane_i < f1)
     tie = nc2 - 1 - cand_i
 
+    # Rect-mode depth (depth_rects, 7-tuples) clips the texel column once
+    # per block (the column doesn't change with jr).
+    rect_depth = segments is not None and len(segments[0]) == 7
+    if rect_depth:
+        colc = jnp.clip(lane_i - f0, 0, cfg.sprite_width - 1)
+
     def cand_sdep(jr):
         """Per-candidate sprite-depth term for screen row j0+jr."""
         world_j = H - (j0 + jr)
         row = f3 - world_j
         if segments is None:
             return jnp.maximum(0, f6 - f7 * row)
+        if rect_depth:
+            # Arbitrary depth maps: ramp-rect select chain on CLIPPED
+            # texel coordinates — reproduces the reference's per-texel
+            # gather (alternative.cpp:336-341; ops/trace.py:110-113)
+            # including its clamp semantics, with no gather.
+            rowc = jnp.clip(row, 0, cfg.sprite_height - 1)
+            sdep = jnp.zeros_like(row)
+            for (s, r0, r1, c0, c1, d0k, slopek) in segments:
+                inseg = (fsid == s) & (rowc >= r0) & (rowc < r1)
+                if not (c0 == 0 and c1 == cfg.sprite_width):
+                    inseg &= (colc >= c0) & (colc < c1)
+                sdep = jnp.where(inseg, d0k - slopek * (rowc - r0), sdep)
+            return sdep
         # Piecewise-ramp depth: select chain over (sprite, row-range)
         # segments — no gather (alternative.cpp:336-341's depth fetch).
         sdep = jnp.zeros_like(row)
@@ -612,13 +679,20 @@ def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
         f7n = f7 * nc2
         en = (f5 - row0v) * nc2
         dn = (f6 - f7 * row0v) * nc2
+        # Row-range hit test as ONE unsigned compare: f2 < world_j <= f3
+        # iff 0 <= row < f3 - f2 with row = f3 - world_j, and the sprite
+        # row span f3 - f2 = ey + ez >= 0 — so u32(row) < u32(span) (a
+        # negative row wraps above any valid span).  ``row`` rides the
+        # same +1-per-jr carry the key terms do.
+        rowv = row0v
+        hspan = (f3 - f2).astype(jnp.uint32)
     for jr in range(R):
         if inc:
-            world_j = H - (j0 + jr)
-            hit = lane_ok & (world_j > f2) & (world_j <= f3)
+            hit = lane_ok & (rowv.astype(jnp.uint32) < hspan)
             key = jnp.where(
                 hit, key0 + jnp.minimum(0, en) - jnp.maximum(0, dn),
                 jnp.int32(KEY_MIN))
+            rowv = rowv + 1
             en = en - nc2
             dn = dn - f7n
         else:

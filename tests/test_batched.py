@@ -562,3 +562,40 @@ class TestTraceCompaction:
         f_scan = np.asarray(a_scan.render_states(ds, players, lights))
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
+
+
+class TestNonRampAtlasBatched:
+    @pytest.mark.slow
+    def test_matches_scan_path_on_rect_depth(self):
+        # Non-column-constant depth maps ride the kernel's ramp-rect
+        # select chain (trace_pallas.depth_rects); the packed winner picks
+        # carry the rect-resolved sdep into the winner-direct shadow
+        # kernel — must stay pixel-identical to the scan path.
+        from pixel_art_raytracer_tpu.assets import SpriteAtlas, make_tile_floor
+
+        tile = make_tile_floor()
+        h, w = tile.depth.shape[-2:]
+        r_ = np.arange(h)[:, None]
+        c_ = np.arange(w)[None, :]
+        depth1 = (np.maximum(0, 19 - r_) + (c_ % 7)).astype(np.int32)
+        atlas = SpriteAtlas(
+            color=np.stack([tile.color[0], tile.color[0]]),
+            depth=np.stack([tile.depth[0], depth1]),
+            normal=np.stack([tile.normal[0], tile.normal[0]]))
+        from pixel_art_raytracer_tpu.scene import SceneBuilder
+
+        b = SceneBuilder(atlas=atlas)
+        b.insert((100, 20, 60), (20, 20, 20), sprite_id=1)   # player
+        for i in range(5):
+            b.insert((40 + i * 30, 0, 50 + (i % 3) * 24), (20, 20, 20),
+                     sprite_id=i % 2)
+        scene = b.build()
+        ds = DeviceScene.from_scene(scene)
+        a_scan = make_anim(scene, batched=False)
+        a_bat = make_anim(scene, batched=True)
+        assert a_bat._batched_capable(ds)
+        assert len(a_bat.renderer.depth_segments[0]) == 7
+        players, lights = sweep(a_scan, scene, 2)
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)

@@ -132,3 +132,67 @@ class TestCppOracleParity:
         gb_p = oracle.trace_pixels(scene, be, cnt)
         gb_c = native.cpp_trace_pixels(scene, be, cnt)
         assert gbuffers_equal(gb_c, gb_p)
+
+
+class TestDepthRects:
+    """Arbitrary (non-column-constant) depth maps on the Pallas kernel path
+    via 2D ramp-rect decomposition (VERDICT r3 #4).  Reference per-texel
+    depth fetch: alternative.cpp:336-341."""
+
+    @staticmethod
+    def pyramid_depth(tile_depth):
+        """A depth map that is NOT column-constant: a row ramp offset by a
+        per-column cycle (decomposes into ~40 ramp rects)."""
+        h, w = tile_depth.shape[-2:]
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        return (np.maximum(0, 19 - r) + (c % 7)).astype(np.int32)
+
+    def test_decomposition_reconstructs_map(self):
+        from pixel_art_raytracer_tpu.ops.trace_pallas import (depth_rects,
+                                                              depth_segments)
+        from pixel_art_raytracer_tpu.assets import make_tile_floor
+
+        tile = make_tile_floor()
+        depth = self.pyramid_depth(tile.depth)[None]
+        assert depth_segments(depth) is None      # not column-constant
+        rects = depth_rects(depth)
+        assert rects is not None
+        recon = np.zeros_like(depth)
+        covered = np.zeros_like(depth)
+        for (s, r0, r1, c0, c1, d0, slope) in rects:
+            rows = np.arange(r0, r1)
+            recon[s, r0:r1, c0:c1] = (d0 - slope * (rows - r0))[:, None]
+            covered[s, r0:r1, c0:c1] += 1
+        np.testing.assert_array_equal(covered, 1)  # exact partition
+        np.testing.assert_array_equal(recon, depth)
+
+    def test_kernel_path_matches_oracle_on_nonramp_atlas(self):
+        from pixel_art_raytracer_tpu.assets import SpriteAtlas, make_tile_floor
+        from pixel_art_raytracer_tpu.scene import Light
+
+        tile = make_tile_floor()
+        depth1 = self.pyramid_depth(tile.depth)
+        atlas = SpriteAtlas(
+            color=np.stack([tile.color[0], tile.color[0]]),
+            depth=np.stack([tile.depth[0], depth1]),
+            normal=np.stack([tile.normal[0], tile.normal[0]]))
+        b = SceneBuilder(atlas=atlas)
+        b.insert((120, 36, 80), (20, 20, 20), sprite_id=1)   # player
+        for i in range(6):
+            for j in range(4):
+                b.insert((60 + i * 24, 0, 40 + j * 28), (20, 20, 20),
+                         sprite_id=(i + j) % 2)
+        scene = b.build()
+        r = DeferredRenderer(DEFAULT_CONFIG, trace_impl="pallas",
+                             shadow_impl="fast")
+        r.configure_for(scene)
+        # The non-ramp atlas must land on the rect path, not the jnp
+        # fallback: 7-tuple segments drive the kernel's clip-exact chain.
+        assert r.depth_segments and len(r.depth_segments[0]) == 7
+        ds = DeviceScene.from_scene(scene, DEFAULT_CONFIG)
+        assert ds.depth_d0 is None                # single ramp impossible
+        light = Light(170, 150, 100)
+        img_k = np.asarray(r.render(ds, light.as_array()))
+        img_p, _ = oracle.render_frame(scene, light)
+        np.testing.assert_array_equal(img_k, img_p)
