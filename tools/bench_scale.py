@@ -4,7 +4,13 @@ Renders a 10k-box scene at a 1024x1024 base resolution with s-times
 supersampling (the render runs at (1024*s)^2 — lane-tiled Pallas kernels)
 and reports per-frame time and Mrays/s at the *traced* resolution.
 
-Usage: python tools/bench_scale.py [factor=2] [iters=3]
+Usage: python tools/bench_scale.py [factor=2] [iters=3] [frames=8]
+                                   [--nonramp]
+
+``--nonramp``: give half the boxes a NON-column-constant depth map, so
+the big-scene run exercises the kernel's ramp-rect depth path
+(trace_pallas.depth_rects — the arbitrary-atlas generalisation of the
+shipped tile's single ramp) instead of falling back to the jnp tracer.
 """
 
 import pathlib
@@ -18,8 +24,10 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    nonramp = "--nonramp" in sys.argv
+    factor = int(args[0]) if len(args) > 0 else 2
+    iters = int(args[1]) if len(args) > 1 else 3
 
     from pixel_art_raytracer_tpu.config import RenderConfig
     from pixel_art_raytracer_tpu.scene import SceneBuilder
@@ -27,7 +35,25 @@ def main() -> None:
         SupersampledRenderer)
 
     cfg = RenderConfig(view_width=1024, view_height=1024, view_length=320)
-    b = SceneBuilder(config=cfg)
+    atlas = None
+    if nonramp:
+        from pixel_art_raytracer_tpu.assets import (SpriteAtlas,
+                                                    make_tile_floor)
+
+        tile = make_tile_floor()
+        h, w = tile.depth.shape[-2:]
+        r_ = np.arange(h)[:, None]
+        c_ = np.arange(w)[None, :]
+        # Two column bands (scale-friendly: the supersample staircase of a
+        # band stays a few dozen rects; a per-column cycle would exceed
+        # the rect cap at factor >= 2 and silently fall back to jnp).
+        depth1 = (np.maximum(0, 19 - r_)
+                  + np.where(c_ >= w // 2, 3, 0)).astype(np.int32)
+        atlas = SpriteAtlas(
+            color=np.stack([tile.color[0], tile.color[0]]),
+            depth=np.stack([tile.depth[0], depth1]),
+            normal=np.stack([tile.normal[0], tile.normal[0]]))
+    b = SceneBuilder(config=cfg, atlas=atlas)
     b.insert((500, 36, 80), (20, 20, 20))            # player
     n = 1
     i = 0
@@ -35,19 +61,25 @@ def main() -> None:
         x = (i * 37) % 1040
         z = (i * 53) % 300
         y = 20 if (i % 7 == 0) else 0
-        b.insert((x, y, z), (20, 20, 20))
+        b.insert((x, y, z), (20, 20, 20),
+                 sprite_id=(i % 2) if nonramp else 0)
         n += 1
         i += 1
     scene = b.build()
     print(f"scene: {scene.n_entities} entities; render at "
           f"{1024 * factor}x{1024 * factor} (s={factor})")
 
-    F = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    F = int(args[2]) if len(args) > 2 else 8
 
     # Shadow tables derive from the scaled scene in prepare()/configure_for.
     ss = SupersampledRenderer(
         cfg, factor=factor, shadow_impl="pallas", trace_impl="auto")
     ds = ss.prepare(scene)
+    if nonramp:
+        segs = ss.renderer.depth_segments
+        assert segs and len(segs[0]) == 7, \
+            "non-ramp atlas must ride the rect-depth kernel path"
+        print(f"non-ramp atlas: {len(segs)} depth rects on the kernel path")
     light = jnp.asarray([512, 200, 80], jnp.int32)
 
     t0 = time.time()
