@@ -151,6 +151,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                         and r.style == "reference"
                         and r.color_rects is not None
                         and upto is None)
+    pick2 = bool(winner_mode and getattr(r, "trace_pick2", False))
     gbuf = trace_pallas.trace_pixels_pallas_batched(
         dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
         dscene.atlas_normal, dscene.palette, bins_ent, counts, dyn_pos,
@@ -159,9 +160,12 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         packed_picks=r.trace_packed,
         slot_cap=None if ncc is not None else trace_slot_cap,
         field_pack=r.trace_field_pack, wide=True,
-        return_winners=winner_mode, kernel_expand=kexp)
+        return_winners=winner_mode, kernel_expand=kexp,
+        pick2=pick2, depth_static=r.depth_static if pick2 else None)
     if winner_mode:
-        gbuf, (win_a, win_b, win_c) = gbuf
+        gbuf, wpicks = gbuf
+        win_a, win_b = wpicks[0], wpicks[1]
+        win_c = None if pick2 else wpicks[2]
 
     if upto == "trace":
         mix = (gbuf.entity_index + gbuf.y + gbuf.z
@@ -329,7 +333,8 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                     iv_p[0], iv_p[1], iv_p[2], cfg, tables,
                     rows_per_block=R, lane_groups=G, chunk=shadow_chunk,
                     packed_params=box_pack, winners=(win_a, win_b),
-                    member_small=msmall, shade=shade_spec)
+                    member_small=msmall, shade=shade_spec, pick2=pick2,
+                    depth_static=r.depth_static if pick2 else None)
                 # Shade-in-kernel: the output is packed RGB, not a lit
                 # mask — pass it through.
                 return out_pad if shade_kernel else out_pad > 0

@@ -105,6 +105,12 @@ class DeferredRenderer:
         # ranges fit (ent < 2^18, sid < 8, sdep < 32, |pz|/|rowbase|
         # < 2^14); False uses the unpacked kernel (any scene).
         self.trace_packed = False
+        # Two-pick winner resolve (configure_for; needs trace_packed +
+        # pick2_ok bounds + a static depth decomposition): sdep drops out
+        # of A and posx packs in — one trace output fewer, no per-row
+        # sdep resolve, no win_c shadow window.
+        self.trace_pick2 = False
+        self.depth_static = None
         # Packed candidate-field tables (configure_for): small fields ride
         # two int32 rows instead of seven when the scene's ranges fit
         # (trace_pallas.field_pack_ok) — ~45% less expansion-table traffic.
@@ -141,9 +147,13 @@ class DeferredRenderer:
         # reference style + rect-decomposable color maps): the shadow
         # kernel derives the final packed RGB in VMEM — the lit mask, the
         # XLA color select chains, and the factor math never round-trip
-        # HBM; the epilogue just unpacks.  Other configurations keep the
-        # lit-mask output.
-        self.shadow_shade_kernel = True
+        # HBM; the epilogue just unpacks.  Measured a LOSS on v5e graybox
+        # (interleaved A/B at F=64: med 0.848 ms/f vs 0.810 with the
+        # member-expand default, 1.005 vs 0.844 without — the two extra
+        # pixel windows (dot f32 + posx) cost more per grid step than the
+        # deleted XLA epilogue, which XLA had fused well).  Default OFF;
+        # kept as a tested opt-in for hardware with cheaper windows.
+        self.shadow_shade_kernel = False
         # Set once the jitted pipeline has traced with this renderer as a
         # static argument; configure_for() refuses to mutate after that
         # (the compile cache would silently keep the stale parameters).
@@ -203,6 +213,24 @@ class DeferredRenderer:
         self.color_rects = rects
         self.depth_segments = segs
         self.trace_packed = self._packed_bounds_ok(scene)
+        # Host-static depth decomposition for the two-pick winner resolve
+        # (decoders re-derive sdep from sid + row instead of unpacking it
+        # from A): ramp params as python ints when the atlas is a ramp,
+        # else the segment/rect tuples.
+        from ..ops.trace_pallas import ramp_depth_params, pick2_ok
+
+        params = ramp_depth_params(np.asarray(scene.atlas.depth))
+        if params is not None:
+            self.depth_static = ("ramp",
+                                 tuple(int(v) for v in params[0]),
+                                 tuple(int(v) for v in params[1]))
+        elif segs is not None:
+            self.depth_static = ("segments", segs)
+        else:
+            self.depth_static = None
+        self.trace_pick2 = bool(self.trace_packed
+                                and self.depth_static is not None
+                                and pick2_ok(scene, self.config))
         from ..ops.trace_pallas import field_pack_ok
 
         self.trace_field_pack = field_pack_ok(scene, self.config)

@@ -493,7 +493,9 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
                    trow_halves: bool = False, winner_inputs: bool = False,
                    tab_sz_lo: int = 0, view_height: int = 0,
                    zmul: int = 0, zshift: int = 0,
-                   member_expand: bool = False, shade=None):
+                   member_expand: bool = False, shade=None,
+                   pick2: bool = False, depth_static=None,
+                   sprite_hw=None):
     """Row-block body on a (frame_blocks, row_blocks) grid — every block
     carries a leading frame dim of ``frames``, so one launch shades a whole
     animation batch and each grid step shades ``frames`` frames' tiles.
@@ -533,7 +535,8 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
         trow_refs = rest[:nt]
         tbg_refs = rest[nt:2 * nt]
         rest = rest[2 * nt:]
-    n_pix = (7 if shade is not None else 5) if winner_inputs else 8
+    n_pix = ((6 if pick2 else 7) if shade is not None else 5) \
+        if winner_inputs else 8
     pix_refs = rest[:n_pix]
     out_ref = rest[n_pix]
     scratch = rest[n_pix + 1:]
@@ -561,7 +564,8 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
             winner_inputs=winner_inputs, tab_sz_lo=tab_sz_lo,
             view_height=view_height, zmul=zmul, zshift=zshift,
             trow_halves=trow_halves, member_expand=member_expand,
-            shade=shade)
+            shade=shade, pick2=pick2, depth_static=depth_static,
+            sprite_hw=sprite_hw)
 
 
 def _shadow_frame_body(fb, block, g, list_row, ox, lane,
@@ -574,7 +578,8 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
                        winner_inputs: bool, tab_sz_lo: int,
                        view_height: int, zmul: int, zshift: int,
                        trow_halves: bool, member_expand: bool = False,
-                       shade=None):
+                       shade=None, pick2: bool = False, depth_static=None,
+                       sprite_hw=None):
     """One frame's tile of the shadow kernel body (``fb`` indexes the
     frame within the grid step's frame block)."""
     if _ablate is not None and _ablate.startswith("empty"):
@@ -606,9 +611,14 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
         #   szidx  = clip(trunc_div(z, bin_size) - sz_lo, 0, SZ-1)
         # The int->f32 converts and truncating division replicate
         # cstyle exactly (z is int32; trunc = floor adjusted on z < 0).
-        if shade is not None:
+        if shade is not None and not pick2:
             (wa_ref, wb_ref, wc_ref, dot_ref,
              ivx_ref, ivy_ref, ivz_ref) = pix_refs
+        elif shade is not None:
+            # pick2 packs posx into A — no separate win_c window.
+            (wa_ref, wb_ref, dot_ref,
+             ivx_ref, ivy_ref, ivz_ref) = pix_refs
+            wc_ref = None
         else:
             wa_ref, wb_ref, ivx_ref, ivy_ref, ivz_ref = pix_refs
         wa = wa_ref[fb]
@@ -616,9 +626,25 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
         hit = wb >= 0
         jrow = block * R + jax.lax.broadcasted_iota(jnp.int32, (R, gw), 0)
         world_j = jnp.int32(view_height) - jrow
-        z = jnp.where(hit, ((wb >> 15) - 16384) + (wa & 31), 0)
+        if pick2:
+            # Two-pick decode: A = (ent*8 + sid)*1024 + (posx + 512);
+            # sdep re-derives from sid + row (and col for rect depth)
+            # via the static depth decomposition — bit-identical to the
+            # kernel-resolved sdep of the 3-pick mode.
+            from .trace_pallas import static_sdep
+
+            sid_w = (wa >> 10) & 7
+            rowbase = (wb & 32767) - 16384
+            srow = rowbase - world_j
+            scol = lane - ((wa & 1023) - 512)
+            sdep_w = static_sdep(depth_static, sid_w, srow, scol,
+                                 sprite_hw=sprite_hw)
+            z = jnp.where(hit, ((wb >> 15) - 16384) + sdep_w, 0)
+            ent = jnp.where(hit, wa >> 13, 0)
+        else:
+            z = jnp.where(hit, ((wb >> 15) - 16384) + (wa & 31), 0)
+            ent = jnp.where(hit, wa >> 8, 0)
         y = jnp.where(hit, world_j - z, 0)
-        ent = jnp.where(hit, wa >> 8, 0)
         bg = ~hit
         oy = y.astype(jnp.float32)
         oz = z.astype(jnp.float32)
@@ -911,10 +937,13 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
     bright = jnp.where(s < f32(1.0), s, f32(1.0))
     factor = jnp.where(lit, bright, amb)
     # Winner attribute decode (same fields gbuffer_from_winners reads).
-    sid = (wa >> 5) & 7
-    rowbase = (wb & 32767) - 16384
-    srow = rowbase - world_j
-    scol = lane - wc_ref[fb]
+    if pick2:
+        sid = sid_w                   # srow/scol already decoded above
+    else:
+        sid = (wa >> 5) & 7
+        rowbase = (wb & 32767) - 16384
+        srow = rowbase - world_j
+        scol = lane - wc_ref[fb]
     cidx = jnp.zeros((R, gw), jnp.int32)
     for (sk, r0, r1, c0, c1, value) in rects:
         in_rect = ((sid == sk) & (srow >= r0) & (srow < r1)
@@ -944,7 +973,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                         bitmap_ondemand: bool | None = None,
                         frames_per_block: int | None = None,
                         winners=None, member_small=None,
-                        shade=None) -> jax.Array:
+                        shade=None, pick2: bool = False,
+                        depth_static=None) -> jax.Array:
     """Launch the shadow kernel on a (frame_blocks, row_blocks) grid.
 
     ``member_small``: (F, n_sy, 2*(SZ+1)*nw, KXP) int32 small membership
@@ -1026,6 +1056,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         n_words = tbgs[0].shape[1]
     assert shade is None or winners is not None, \
         "shade-in-kernel requires winner-direct inputs"
+    assert not pick2 or (winners is not None and depth_static is not None), \
+        "pick2 winner inputs need the static depth decomposition"
     if packed_params:
         M = cword.shape[2]
         Mq = M // 128
@@ -1046,7 +1078,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     # Per-step VMEM for one frame's windows (x2 for Mosaic's double
     # buffering): pixel inputs + the output block + the bin-row/bg
     # membership tables.
-    n_pix = (7 if shade is not None else 5) if winners is not None else 8
+    n_pix = ((6 if pick2 else 7) if shade is not None else 5) \
+        if winners is not None else 8
     frame_bytes = 2 * 4 * ((n_pix + 1) * R * gw
                            + (0 if member_expand else
                               (2 if trow_halves else 1)
@@ -1076,7 +1109,10 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                                view_height=cfg.view_height,
                                zmul=zmul, zshift=zshift,
                                member_expand=member_expand,
-                               shade=None if shade is None else shade[2:])
+                               shade=None if shade is None else shade[2:],
+                               pick2=pick2, depth_static=depth_static,
+                               sprite_hw=(cfg.sprite_height,
+                                          cfg.sprite_width))
 
     # Window layout: the glue-split ablations (docs/PERF.md rule 14) showed
     # the stage floor is XLA glue (pad/stack copies feeding the kernel),
@@ -1085,7 +1121,9 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     # small broadcast tables (counts + sz ranges; the i32 param tables) are
     # merged host-side where the concat is cheap.
     if winners is not None:
-        if shade is not None:
+        if shade is not None and pick2:
+            pixels = (winners[0], winners[1], shade[0], ivx, ivy, ivz)
+        elif shade is not None:
             pixels = (winners[0], winners[1], shade[1], shade[0],
                       ivx, ivy, ivz)
         else:

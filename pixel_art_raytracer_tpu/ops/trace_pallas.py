@@ -469,7 +469,7 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
                   segments=None, compact: bool = False,
                   packed_picks: bool = False,
                   packed_fields: bool = False, frames: int = 1,
-                  kernel_expand: bool = False):
+                  kernel_expand: bool = False, pick2: bool = False):
     """Row-block body.  Blocks carry a leading frame dim of ``frames``: the
     grid is (frame_blocks, row_blocks, lane_tiles), so one launch traces a
     whole animation batch and each grid step traces ``frames`` frames'
@@ -507,16 +507,25 @@ def _trace_kernel(row0_ref, tab_ref, *refs, config,
                           config=config, rows_per_block=rows_per_block,
                           n_cands=n_cands, nc2=nc2, segments=segments,
                           compact=compact, packed_picks=packed_picks,
-                          packed_fields=packed_fields, sel_ref=sel_ref)
+                          packed_fields=packed_fields, sel_ref=sel_ref,
+                          pick2=pick2)
 
 
 def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
                       config, rows_per_block: int, n_cands: int, nc2: int,
                       segments, compact: bool, packed_picks: bool,
-                      packed_fields: bool, sel_ref=None):
+                      packed_fields: bool, sel_ref=None,
+                      pick2: bool = False):
     """One frame's block of the trace kernel body (``fb`` indexes the
     frame within the grid step's frame block)."""
-    if packed_picks:
+    if packed_picks and pick2:
+        # Two-pick mode (see trace_keys_pallas): sdep drops out of A
+        # (consumers re-derive it from sid + row with the static depth
+        # decomposition) and posx packs into A's low bits — one output
+        # window fewer and no per-row sdep work in the resolve.
+        (a_ref, b_ref, mkey_scr, empty_scr, keys_scr) = refs
+        c_ref = None
+    elif packed_picks:
         # Packed mode has no separate keys output: the A/B/C picks are
         # masked to KEY_MIN on miss rows, so hit == (B >= 0) downstream
         # (valid B is nonnegative under the host-proved |pz|/|rowbase|
@@ -528,7 +537,8 @@ def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
          mkey_scr, empty_scr, keys_scr) = refs
     if _ablate == "empty":
         # Pure floor bound: same grid + operand windows, no kernel work.
-        outs = ((a_ref, b_ref, c_ref) if packed_picks
+        outs = (((a_ref, b_ref) if pick2 else (a_ref, b_ref, c_ref))
+                if packed_picks
                 else (key_ref, ent_ref, sdep_ref, pz_ref, rb_ref, px_ref,
                       sid_ref))
         for ref in outs:
@@ -738,20 +748,31 @@ def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
             if packed_picks:
                 a_ref[fb, jr:jr + 1, :] = row
                 b_ref[fb, jr:jr + 1, :] = row
-                c_ref[fb, jr:jr + 1, :] = row
+                if not pick2:
+                    c_ref[fb, jr:jr + 1, :] = row
             else:
                 for ref in (ent_ref, sdep_ref, pz_ref, rb_ref, px_ref,
                             sid_ref):
                     ref[fb, jr:jr + 1, :] = row
         return
     if packed_picks:
-        base_a = (fent * 8 + fsid) * 32                  # + sdep per row
+        if pick2:
+            # Both picks row-independent: A = (ent*8 + sid)*1024 +
+            # (posx + 512) — sdep is re-derived downstream from sid + row
+            # via the static depth decomposition, so its per-row resolve
+            # work (and the third output) disappears.
+            base_a = (fent * 8 + fsid) * 1024 + (f0 + 512)
+        else:
+            base_a = (fent * 8 + fsid) * 32              # + sdep per row
         base_b = (fpz + 16384) * 32768 + (f3 + 16384)    # row-independent
-    if inc:
+    need_sdep = not (packed_picks and pick2)
+    if inc and need_sdep:
         dd = f6 - f7 * row0v                 # running f6 - f7*row carry
     for jr in range(R):
         key = keys_scr[jr * n_cands:(jr + 1) * n_cands]
-        if inc:
+        if not need_sdep:
+            sdep = None
+        elif inc:
             sdep = jnp.maximum(0, dd)
             dd = dd - f7
         else:
@@ -770,10 +791,11 @@ def _trace_frame_body(fb, lane_i, cand_i, row0_ref, tab_ref, refs, *,
             # without a separate keys output.
             hitrow = total[jr:jr + 1, :] > jnp.int32(KEY_MIN // 2)
             kmin = jnp.int32(KEY_MIN)
-            a_ref[fb, jr:jr + 1, :] = jnp.where(hitrow,
-                                                pick(base_a + sdep), kmin)
+            a_val = base_a if pick2 else base_a + sdep
+            a_ref[fb, jr:jr + 1, :] = jnp.where(hitrow, pick(a_val), kmin)
             b_ref[fb, jr:jr + 1, :] = jnp.where(hitrow, pick(base_b), kmin)
-            c_ref[fb, jr:jr + 1, :] = jnp.where(hitrow, pick(f0), kmin)
+            if not pick2:
+                c_ref[fb, jr:jr + 1, :] = jnp.where(hitrow, pick(f0), kmin)
         else:
             ent_ref[fb, jr:jr + 1, :] = pick(fent)
             sdep_ref[fb, jr:jr + 1, :] = pick(sdep)
@@ -789,8 +811,16 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
                       packed_picks: bool = False,
                       max_lane_tile: int = 1024,
                       frames_per_block: int | None = None,
-                      kernel_expand: bool = False):
+                      kernel_expand: bool = False,
+                      pick2: bool = False):
     """Run the kernel; returns per-pixel winning keys (n_rows, w_pad) int32.
+
+    ``pick2`` (with ``packed_picks``): resolve winners as TWO packed
+    maxima instead of three — A = (ent*8 + sid)*1024 + (posx + 512),
+    B unchanged — dropping the per-row sdep resolve work and the third
+    output buffer; decoders re-derive sdep from sid + row via the scene's
+    static depth decomposition.  Extra host-proved bounds (``pick2_ok``):
+    posx + 512 in [0, 1024) for any binned entity.
 
     ``tables`` may carry a leading frame axis (F, n_fields, HH, NC, w_pad):
     the grid becomes (F, row_blocks) and every output gains the frame axis —
@@ -850,7 +880,7 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
     # per-step fixed cost amortises over FB frames' blocks.  VMEM bound:
     # double-buffered table + output windows scale with FB; the keys stash
     # does not (frames run sequentially through it).
-    n_out = 3 if packed_picks else 7
+    n_out = (2 if pick2 else 3) if packed_picks else 7
     # VMEM window bytes per step: the small table lane-pads KP -> 128.
     # NOTE (ADVICE r3): this budget assumes FB=1 (the measured default —
     # TRACE_FRAMES_PER_BLOCK pins it).  With kernel_expand the kernel body
@@ -880,7 +910,7 @@ def trace_keys_pallas(tables: jax.Array, config: RenderConfig,
                                w_pad=wt, segments=segments,
                                compact=compact, packed_picks=packed_picks,
                                packed_fields=packed_fields, frames=FB,
-                               kernel_expand=kernel_expand)
+                               kernel_expand=kernel_expand, pick2=pick2)
     # Interpreter mode on non-TPU backends (CPU tests validate the kernel
     # logic; compiled Mosaic runs on real TPUs).
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
@@ -997,10 +1027,67 @@ def trace_pixels_pallas(pos, ext, sprite_id, atlas_color, atlas_depth,
                                 cfg, bands, rects, row0, n_rows)
 
 
+def static_sdep(depth_static, sid, row, col, config=None,
+                sprite_hw: tuple[int, int] | None = None):
+    """Sprite depth from a winner's (sid, row[, col]) via the scene's
+    STATIC depth decomposition — the pick2 decoders' (and the
+    winner-direct shadow kernel's) replacement for a kernel-resolved
+    sdep.  ``depth_static``: ("ramp", d0s, slopes) with per-sprite python
+    ints — the kernel's ``max(0, d0 - slope*row)`` formula — or
+    ("segments", segs) with 5-tuple row segments (raw row) or 7-tuple
+    ramp rects (CLIPPED row/col, the gather semantics).  Integer
+    arithmetic: bit-identical to the kernel's per-candidate sdep for the
+    winner."""
+    if sprite_hw is None:
+        sprite_hw = (config.sprite_height, config.sprite_width)
+    sh, sw = sprite_hw
+    kind = depth_static[0]
+    if kind == "ramp":
+        d0s, slopes = depth_static[1], depth_static[2]
+        if len(d0s) == 1:
+            return jnp.maximum(0, jnp.int32(d0s[0])
+                               - jnp.int32(slopes[0]) * row)
+        sdep = jnp.zeros_like(row)
+        for k in range(len(d0s)):
+            v = jnp.maximum(0, jnp.int32(d0s[k])
+                            - jnp.int32(slopes[k]) * row)
+            sdep = jnp.where(sid == k, v, sdep)
+        return sdep
+    segs = depth_static[1]
+    sdep = jnp.zeros_like(row)
+    if len(segs[0]) == 7:
+        rowc = jnp.clip(row, 0, sh - 1)
+        colc = jnp.clip(col, 0, sw - 1)
+        for (s, r0, r1, c0, c1, d0k, slopek) in segs:
+            inseg = (sid == s) & (rowc >= r0) & (rowc < r1)
+            if not (c0 == 0 and c1 == sw):
+                inseg &= (colc >= c0) & (colc < c1)
+            sdep = jnp.where(inseg, d0k - slopek * (rowc - r0), sdep)
+        return sdep
+    for (s, r0, r1, d0k, slopek) in segs:
+        inseg = (sid == s) & (row >= r0) & (row < r1)
+        sdep = jnp.where(inseg, d0k - slopek * (row - r0), sdep)
+    return sdep
+
+
+def pick2_ok(scene, config: RenderConfig) -> bool:
+    """Host-side range proof for the two-pick winner resolve.
+
+    On top of the packed-pick bounds (``DeferredRenderer._packed_bounds_ok``)
+    A packs posx + 512 into 10 low bits: binned winners have
+    ``posx in (-ext_x, view_width)`` (the frustum cull,
+    alternative.cpp:212-219), so ``ext_x <= 512`` and
+    ``view_width + 512 <= 1023`` suffice for any reachable position."""
+    ext = np.asarray(scene.ext)
+    return bool(int(ext[:, 0].max()) <= 512
+                and config.view_width + 512 <= 1023)
+
+
 def gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
                          config: RenderConfig, bands=None, rects=None,
                          row0=None, n_rows: int | None = None,
-                         width: int | None = None) -> GBufferArrays:
+                         width: int | None = None,
+                         depth_static=None) -> GBufferArrays:
     """Decode the kernel's per-pixel winner fields into a G-buffer.
 
     Pure elementwise XLA — batched callers ``jax.vmap`` this over the frame
@@ -1019,7 +1106,21 @@ def gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
         n_rows = H
     if width is None:
         width = W
-    if len(winners) == 3:
+    if len(winners) == 2:
+        # Two-pick kernel output: A = (ent*8 + sid)*1024 + (posx + 512),
+        # B as in the 3-pick mode; sdep re-derives from sid + row below
+        # via the static depth decomposition (bit-identical to the
+        # kernel's per-candidate sdep for the winner).
+        assert depth_static is not None, "pick2 decode needs depth_static"
+        a, b = (x[:, :width] for x in winners)
+        hit = b >= 0
+        ent = a >> 13
+        sid = (a >> 10) & 7
+        posx = (a & 1023) - 512
+        sdep = None
+        pz = (b >> 15) - 16384
+        rowbase = (b & 32767) - 16384
+    elif len(winners) == 3:
         # Packed-picks kernel output: unpack A/B/C (see _trace_kernel).
         # Misses carry KEY_MIN in every field (masked in-kernel), so
         # hit == (B >= 0): valid B = (pz+2^14)*2^15 + (rowbase+2^14) is
@@ -1046,6 +1147,8 @@ def gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
 
     row = rowbase - world_j
     col = i - posx
+    if sdep is None:
+        sdep = static_sdep(depth_static, sid, row, col, cfg)
     texel = ((jnp.where(hit, sid, 0) * cfg.sprite_height
               + jnp.clip(row, 0, cfg.sprite_height - 1))
              * cfg.sprite_width + jnp.clip(col, 0, cfg.sprite_width - 1))
@@ -1098,8 +1201,14 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                                 field_pack: bool = False,
                                 wide: bool = False,
                                 return_winners: bool = False,
-                                kernel_expand: bool = False):
+                                kernel_expand: bool = False,
+                                pick2: bool = False, depth_static=None):
     """Primary visibility for a whole animation batch in ONE kernel launch.
+
+    ``pick2``/``depth_static``: two-pick winner resolve (see
+    ``trace_keys_pallas``) — ``depth_static`` is the host-static depth
+    decomposition (("ramp", d0s, slopes) or ("segments", segs)) the
+    decoders re-derive sdep with.  Requires ``pick2_ok`` bounds.
 
     ``bins_ent`` (F, V, cap) / ``counts`` (F, V): per-frame bin tables (from
     a vmapped StaticBins.merge).  ``dyn_pos`` (F, D, 3): per-frame positions
@@ -1133,7 +1242,8 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
             return trace_keys_pallas(tables, cfg, segments=segments,
                                      rows_per_block=rows_per_block,
                                      packed_picks=packed_picks,
-                                     kernel_expand=kernel_expand)
+                                     kernel_expand=kernel_expand,
+                                     pick2=pick2)
         return fn
 
     if n_compact is not None:
@@ -1159,7 +1269,8 @@ def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
     gbuf = jax.vmap(
         lambda w: gbuffer_from_winners(w, atlas_color, atlas_normal,
                                        palette, cfg, bands, rects,
-                                       width=w_pad if wide else None)
+                                       width=w_pad if wide else None,
+                                       depth_static=depth_static)
     )(winners)
     if return_winners:
         # Winner-direct shadow mode: the shadow kernel re-derives its

@@ -64,6 +64,9 @@ def main() -> None:
     ap.add_argument("--shade-sweep", action="store_true",
                     help="A/B shade-in-kernel packed-RGB output "
                          "(r.shadow_shade_kernel)")
+    ap.add_argument("--pick2-sweep", action="store_true",
+                    help="A/B two-pick vs three-pick trace winner resolve "
+                         "(r.trace_pick2)")
     ap.add_argument("--bitmap-sweep", action="store_true",
                     help="sweep on-demand vs prebuilt kernel bitmaps in-run")
     ap.add_argument("--ikeys-sweep", action="store_true",
@@ -157,6 +160,7 @@ def main() -> None:
                else [r.shadow_member_expand])
         shades = ([True, False] if args.shade_sweep
                   else [r.shadow_shade_kernel])
+        pick2s = ([True, False] if args.pick2_sweep else [r.trace_pick2])
         bitmaps = ([True, False] if args.bitmap_sweep
                    else [shadow_pallas.BITMAP_ONDEMAND])
         ikeys = ([True, False] if args.ikeys_sweep
@@ -181,14 +185,15 @@ def main() -> None:
                         for bp in packs:
                             import itertools
 
-                            for bo, ik, fpb, tfpb, scap, wm, kx, mx, sh in \
+                            for (bo, ik, fpb, tfpb, scap, wm, kx, mx, sh,
+                                 p2) in \
                                     itertools.product(bitmaps, ikeys,
                                                       fpbs, tfpbs, scaps,
                                                       winner_modes, kexps,
-                                                      mxs, shades):
+                                                      mxs, shades, pick2s):
                                 key = (rows, groups, trows, ch, bp,
                                        bo, ik, fpb, tfpb, scap, wm, kx,
-                                       mx, sh)
+                                       mx, sh, p2)
                                 if any(e[0] == key for e in entries):
                                     continue
                                 r.shadow_box_pack = bp
@@ -196,6 +201,7 @@ def main() -> None:
                                 r.trace_kernel_expand = kx
                                 r.shadow_member_expand = mx
                                 r.shadow_shade_kernel = sh
+                                r.trace_pick2 = p2
                                 shadow_pallas.BITMAP_ONDEMAND = bo
                                 trace_pallas.INCREMENTAL_KEYS = ik
                                 shadow_pallas.FRAMES_PER_BLOCK = fpb
@@ -219,13 +225,13 @@ def main() -> None:
                 ts.append(best)
         rays = 2 * cfg.view_width * cfg.view_height * F
         for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb, scap,
-             wm, kx, mx, sh), _, ts in entries:
+             wm, kx, mx, sh, p2), _, ts in entries:
             med = float(np.median(ts))
             lo = float(np.min(ts))
             print(f"R={rows} G={groups} TR={trows} C={ch} pack={int(bp)} "
                   f"od={int(bo)} ik={int(ik)} fpb={fpb} tfpb={tfpb} "
                   f"cap={scap} wm={int(wm)} kx={int(kx)} mx={int(mx)} "
-                  f"sh={int(sh)} FULL "
+                  f"sh={int(sh)} p2={int(p2)} FULL "
                   f"med {med*1e3:8.2f} ms ({med*1e3/F:6.3f} ms/f, "
                   f"{rays/med/1e6:6.1f} Mr/s)  best {lo*1e3:8.2f} "
                   f"({lo*1e3/F:6.3f})")
@@ -233,7 +239,7 @@ def main() -> None:
             import time as _t
 
             for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb,
-                 scap, wm, kx, mx, sh), fn, _ in entries:
+                 scap, wm, kx, mx, sh, p2), fn, _ in entries:
                 def burst(p, l, n=args.pipeline):
                     outs = [fn(p, l) for _ in range(n)]
                     return [np.asarray(o) for o in outs]
