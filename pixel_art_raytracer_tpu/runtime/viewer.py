@@ -304,6 +304,11 @@ def main(argv=None) -> None:
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", choices=["demo", "graybox"], default="demo")
+    ap.add_argument("--shadow", choices=["fast", "pallas", "scan"],
+                    default="fast",
+                    help="per-frame shadow implementation (all "
+                         "pixel-identical; pallas = the production "
+                         "kernel path)")
     ap.add_argument("--scale", type=int, default=None)
     ap.add_argument("--frames", type=int, default=None,
                     help="stop after N frames (default: run until Esc)")
@@ -317,7 +322,8 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     scene = graybox_world() if args.scene == "graybox" else demo_world(10)
-    viewer = LiveViewer(scene, scale=args.scale)
+    renderer = DeferredRenderer(DEFAULT_CONFIG, shadow_impl=args.shadow)
+    viewer = LiveViewer(scene, scale=args.scale, renderer=renderer)
     if args.bench:
         # The reference is an *interactive* renderer: this measures the
         # honest per-presented-frame latency of the live loop, including
