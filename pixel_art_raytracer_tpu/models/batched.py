@@ -215,8 +215,20 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         # start presence — fewer live candidates per tile, same pixels.
         # NaN dots (light exactly on the surface point) compare False and
         # are excluded; their brightness is ambient via the same max(0, ·).
-        dot = (gbuf.normal[..., 0] * tl[0] + gbuf.normal[..., 1] * tl[1]
-               + gbuf.normal[..., 2] * tl[2])
+        if (winner_mode and r.normal_bands is not None
+                and getattr(r, "shadow_winner_dot", True)):
+            # Dot straight from the packed picks (output-identical — see
+            # trace_pallas.winner_dot): the (F, h, w_pad, 3) normal
+            # buffer never materialises.
+            wl = (win_a, win_b) if pick2 else (win_a, win_b, win_c)
+            dot = jax.vmap(
+                lambda w, t0, t1, t2: trace_pallas.winner_dot(
+                    w, (t0, t1, t2), r.normal_bands, cfg)
+            )(wl, tl[0], tl[1], tl[2])
+        else:
+            dot = (gbuf.normal[..., 0] * tl[0]
+                   + gbuf.normal[..., 1] * tl[1]
+                   + gbuf.normal[..., 2] * tl[2])
         needs = _padw((dot > 0).astype(jnp.int32), w_pad)
         szr = jax.vmap(
             lambda s, b, n: shadow_pallas.block_sz_ranges(s, b, W, R, SZ,
@@ -259,8 +271,19 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         if upto == "rel":
             return relc.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
 
+        # Capped top-k list compaction (shadow_list_cap): the per-tile
+        # pruned lists stop at ``lcap`` entries instead of carrying the
+        # full M-wide argsort — exactness is guarded below (any tile
+        # whose relevant count exceeds the cap reroutes the batch to the
+        # exact dynamic march, the same pattern as the candidate
+        # overflow guard).  Requires the guard, so vmapped contexts
+        # (shadow_guard='none') keep the full argsort.
+        lcap = getattr(r, "shadow_list_cap", None)
+        if r.shadow_guard != "fallback":
+            lcap = None
         lists, blk_counts = jax.vmap(
-            shadow_pallas.candidate_lists_from_relc)(relc)
+            lambda rc: shadow_pallas.candidate_lists_from_relc(rc, cap=lcap)
+        )(relc)
         if upto == "lists":
             return (blk_counts.reshape(F, -1).sum(axis=1)
                     + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32))
@@ -366,8 +389,46 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             sz_ok = jnp.all(sz_in | ~(dot[..., :W] > 0))
             ok = (~jnp.any(cands.overflow) & sz_ok
                   & (jnp.max(steps) <= tables.max_steps))
+            if lcap is not None:
+                # Capped lists are exact only while every tile's
+                # relevant count fits the cap.
+                ok = ok & (jnp.max(blk_counts) <= lcap)
 
             def slow_lit():
+                # Cold-path reroute.  Every per-pixel input is recomputed
+                # INSIDE the branch: a captured pixel buffer rides the
+                # conditional's operand tuple even when the fast path
+                # runs — the round-4 HLO census put the guard tuple (and
+                # the copy-dones feeding it) among the program's largest
+                # HBM writers (~10 MB/frame).  In winner mode the decoded
+                # G-buffer and ray geometry re-derive from the trace
+                # picks (win_a/win_b are materialised kernel outputs
+                # already, so capturing them is free); recomputation cost
+                # lands only on frames that actually violate the static
+                # bounds.
+                if winner_mode and getattr(r, "shadow_guard_recompute",
+                                           True):
+                    from ..ops.trace_pallas import gbuffer_from_winners
+
+                    wl = ((win_a, win_b) if pick2
+                          else (win_a, win_b, win_c))
+                    gb = jax.vmap(
+                        lambda w: gbuffer_from_winners(
+                            w, dscene.atlas_color, dscene.atlas_normal,
+                            dscene.palette, cfg, r.normal_bands,
+                            r.color_rects, width=w_pad,
+                            depth_static=r.depth_static if pick2
+                            else None)
+                    )(wl)
+                    _, inv_s, orig_s, rb_s, lb_s = jax.vmap(
+                        lambda g, l: shade_ops.light_geometry(g, l, cfg)
+                    )(gb, lights_f)
+                    ents = gb.entity_index
+                else:
+                    gb, inv_s, orig_s, rb_s, lb_s = (gbuf, inv, origin,
+                                                     rb_g, lb)
+                    ents = gbuf.entity_index
+
                 def one(args):
                     p, g, rbf, lbf, of, invf = args
                     pos_f = dscene.pos.at[0].set(p)
@@ -383,8 +444,7 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                                                rbf, lbf, g, of, invf, cfg)
 
                 lit = jax.lax.map(
-                    one, (players, gbuf.entity_index, rb_g, lb, origin,
-                          inv))
+                    one, (players, ents, rb_s, lb_s, orig_s, inv_s))
                 if not shade_kernel:
                     return lit
                 # Shade-in-kernel fast branch emits packed RGB: the exact

@@ -154,6 +154,27 @@ class DeferredRenderer:
         # deleted XLA epilogue, which XLA had fused well).  Default OFF;
         # kept as a tested opt-in for hardware with cheaper windows.
         self.shadow_shade_kernel = False
+        # Lambert dot straight from the packed picks (batched pipeline,
+        # winner mode): trace_pallas.winner_dot evaluates the two-band
+        # select-chain dot from the A/B picks — the (F, h, w_pad, 3) f32
+        # normal buffer (a 2 MB/frame HBM materialisation in the round-4
+        # census) never exists.  Output-identical (see winner_dot's
+        # docstring); flag kept for interleaved A/B measurement.
+        self.shadow_winner_dot = True
+        # Guard cold-path recompute (batched pipeline): the slow reroute
+        # re-derives its per-pixel inputs from the trace picks INSIDE the
+        # lax.cond branch instead of capturing the fast path's buffers —
+        # a captured pixel buffer rides the conditional's operand tuple
+        # even when the fast path runs (the round-4 HLO census put that
+        # tuple among the largest HBM writers, ~10 MB/frame).
+        self.shadow_guard_recompute = True
+        # Capped top-k candidate lists (batched pipeline, guarded): the
+        # per-tile pruned lists carry at most this many entries instead
+        # of the full M-wide argsort output; tiles that overflow the cap
+        # reroute the batch to the exact dynamic march via the shadow
+        # guard (so exactness never depends on the cap).  None keeps the
+        # argsort.  256 covers graybox's densest tiles ~2x over.
+        self.shadow_list_cap = 256
         # Set once the jitted pipeline has traced with this renderer as a
         # static argument; configure_for() refuses to mutate after that
         # (the compile cache would silently keep the stale parameters).

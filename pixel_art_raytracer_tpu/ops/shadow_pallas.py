@@ -287,11 +287,29 @@ def candidate_lists_from_relevance(cands: Candidates, rel):
     return candidate_lists_from_relc(relc)
 
 
-def candidate_lists_from_relc(relc):
-    """Compact index lists from per-candidate relevance (…, M) bool."""
+def candidate_lists_from_relc(relc, cap: int | None = None):
+    """Compact index lists from per-candidate relevance (…, M) bool.
+
+    ``cap``: capped top-k compaction instead of the full argsort — the
+    relevant candidates arrive in the SAME ascending index order as the
+    stable argsort prefix (scores ``M - idx`` are distinct, so top-k is
+    exact), the list just stops at ``cap`` entries.  Exact only when
+    every tile's relevant count fits the cap: callers must guard
+    ``max(counts) <= cap`` and reroute hostile frames to the exact path
+    (the same pattern as the candidate-capacity overflow guard).  Tail
+    entries beyond the count are zero-score picks — arbitrary real or
+    padded candidates, harmless exactly as the argsort tail is (their
+    membership masks are zero for every pixel of this tile, and padded
+    candidates route to the always-zero bitmap word)."""
     counts = relc.sum(axis=-1).astype(jnp.int32)
-    order = jnp.argsort(~relc, axis=-1, stable=True)
-    return order.astype(jnp.int32), counts
+    M = relc.shape[-1]
+    if cap is None or cap >= M:
+        order = jnp.argsort(~relc, axis=-1, stable=True)
+        return order.astype(jnp.int32), counts
+    iota = jnp.arange(M, dtype=jnp.int32)
+    score = jnp.where(relc, (M - iota).astype(jnp.float32), 0.0)
+    _, idx = jax.lax.top_k(score, cap)
+    return idx.astype(jnp.int32), counts
 
 
 def member_row_tables_small(member_words, config: RenderConfig,
@@ -662,9 +680,15 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
         szidx = szidx_ref[fb]
         bg = bg_ref[fb] > 0
         ent = ent_ref[fb]
-    ivx = ivx_ref[fb]
-    ivy = ivy_ref[fb]
-    ivz = ivz_ref[fb]
+    if _ablate == "noiv":
+        # Timing-only dummy iv (see the driver's window shrink).
+        ivx = jnp.broadcast_to(ivx_ref[fb, :1], (R, gw))
+        ivy = jnp.broadcast_to(ivy_ref[fb, :1], (R, gw))
+        ivz = jnp.broadcast_to(ivz_ref[fb, :1], (R, gw))
+    else:
+        ivx = ivx_ref[fb]
+        ivy = ivy_ref[fb]
+        ivz = ivz_ref[fb]
 
     sz_lo = meta_ref[fb, 0, meta_off + 2 * block]
     sz_hi = meta_ref[fb, 0, meta_off + 2 * block + 1]
@@ -1139,9 +1163,27 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         return pl.BlockSpec((FB, R, gw), lambda f, i, g: (f, i, g),
                             memory_space=pltpu.VMEM)
 
+    n_smallpix = 0
+    if _ablate == "noiv":
+        # Timing-only: shrink the three inverse-direction windows to an
+        # 8-row dummy (the body broadcasts row 0) — quantifies the iv
+        # windows' share of the FULL kernel's cost (iteration counts and
+        # every other operand are unchanged; only slab-test values are
+        # wrong, which does not alter any loop bound).
+        pixels = pixels[:-3] + tuple(a[:, :8, :] for a in pixels[-3:])
+        n_smallpix = 3
+
+        def smallpix():
+            return pl.BlockSpec((FB, 8, gw), lambda f, i, g: (f, 0, g),
+                                memory_space=pltpu.VMEM)
+
+    # Capped top-k lists (candidate_lists_from_relc(cap=...)) arrive
+    # narrower than M; the list table depth rides its own shape.
+    L = lists.size // (F * NB * G)
+    assert L % chunk == 0, "chunk must divide the list capacity"
     if packed_params:
-        # The lists block rides an 8-row band of the (F, NB*G, M) table:
-        # a (1, 1, M) block would violate the TPU lowering rule (the
+        # The lists block rides an 8-row band of the (F, NB*G, L) table:
+        # a (1, 1, L) block would violate the TPU lowering rule (the
         # second-minor block dim must be 8-divisible or equal the array
         # dim); the kernel indexes its tile's row with (i*G + g) % 8.
         lb = 8 if (NB * G) % 8 == 0 else NB * G
@@ -1150,11 +1192,11 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         param_specs = [
             pl.BlockSpec((FB, 4, M), lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # wordent/mask/boxa/b
-            pl.BlockSpec((FB, lb, M),
+            pl.BlockSpec((FB, lb, L),
                          lambda f, i, g: (f, (i * G + g) // lb, 0),
                          memory_space=pltpu.SMEM),    # pruned index lists
         ]
-        param_ops = (ptab, lists.reshape(F, NB * G, M))
+        param_ops = (ptab, lists.reshape(F, NB * G, L))
     else:
         # Box corners are integral world coordinates (entity positions and
         # extents are ints): stored i32 in the merged table, converted
@@ -1165,11 +1207,11 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
             pl.BlockSpec((FB, 3 * Mq + M // 16, 128),
                          lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # ids + box corners
-            pl.BlockSpec((FB, 1, 1, Mq, 128),
+            pl.BlockSpec((FB, 1, 1, L // 128, 128),
                          lambda f, i, g: (f, i, g, 0, 0),
                          memory_space=pltpu.SMEM),    # pruned index lists
         ]
-        param_ops = (ptab, lists.reshape(F, NB, G, Mq, 128))
+        param_ops = (ptab, lists.reshape(F, NB, G, L // 128, 128))
 
     # SMEM operands are buffered per grid step: whole tables must not ride
     # scalar prefetch (F x their size would blow the budget), but *blocked*
@@ -1262,7 +1304,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
             *([trow_spec] * len(trows)),              # t_row (per bin row)
             *([tbg_spec] * len(tbgs)),                # t_bg
             *member_specs,                            # small table + sel
-            *([pix()] * len(pixels)),
+            *([pix()] * (len(pixels) - n_smallpix)
+              + ([smallpix()] * n_smallpix if n_smallpix else [])),
         ],
         out_specs=pl.BlockSpec((FB, R, gw), lambda f, i, g: (f, i, g),
                                memory_space=pltpu.VMEM),

@@ -1190,6 +1190,49 @@ def gbuffer_from_winners(winners, atlas_color, atlas_normal, palette,
                          entity_index=entity)
 
 
+def winner_dot(winners, tl, bands, config: RenderConfig):
+    """Lambert dot (``gbuf.normal · tl``) straight from the packed picks —
+    the (h, w, 3) f32 normal buffer (a 2 MB/frame HBM materialisation in
+    the round-4 census) never exists.
+
+    Float-identical to ``normal[...,0]*tl[0] + normal[...,1]*tl[1] +
+    normal[...,2]*tl[2]`` over the two-band select-chain normals of
+    ``gbuffer_from_winners``: each (sprite, band) arm evaluates the SAME
+    three-product left-to-right sum with that band's constant normal, and
+    the select keys (hit, sid, row-band) are identical — so every pixel
+    takes the same value through the same float ops.  Miss pixels (zero
+    normals, quirk Q6) read constant 0.0 where the original computed
+    ``(0*tl0 + 0*tl1) + 0*tl2``; the two differ only when every tl
+    component is NaN (light exactly on the surface point, length == 0),
+    and both then shade to the ambient factor through ``max(0, dot)`` and
+    fail the ``dot > 0`` shadow-needed test — output-identical.
+
+    ``winners``: 2- or 3-tuple of packed picks (see trace_keys_pallas).
+    ``tl``: 3-tuple of (h, w) f32 towards-light components.  ``bands``:
+    host-side ``normal_bands`` result (required).
+    """
+    cfg = config
+    H = cfg.view_height
+    a, b = winners[0], winners[1]
+    hit = b >= 0
+    sid = ((a >> 10) & 7) if len(winners) == 2 else ((a >> 5) & 7)
+    rowbase = (b & 32767) - 16384
+    j = jnp.arange(a.shape[0], dtype=jnp.int32)[:, None]
+    row = rowbase - (jnp.int32(H) - j)
+    splits, tops, fronts = (np.asarray(x) for x in bands)
+    tl0, tl1, tl2 = tl
+    dot = jnp.zeros(a.shape, jnp.float32)
+    for k in range(splits.shape[0]):
+        def arm(n):
+            return (jnp.float32(n[0]) * tl0 + jnp.float32(n[1]) * tl1
+                    + jnp.float32(n[2]) * tl2)
+
+        nk = jnp.where((row < int(splits[k])), arm(tops[k]),
+                       arm(fronts[k]))
+        dot = jnp.where(hit & (sid == k), nk, dot)
+    return dot
+
+
 def trace_pixels_pallas_batched(pos, ext, sprite_id, atlas_color,
                                 atlas_normal, palette, bins_ent, counts,
                                 dyn_pos, config: RenderConfig, depth_params,

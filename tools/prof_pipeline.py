@@ -79,6 +79,16 @@ def main() -> None:
     ap.add_argument("--slot-cap-sweep", type=int, nargs="*", default=None,
                     help="sweep trace slot caps in-run (bin_capacity "
                          "means uncompacted, e.g. --slot-cap-sweep 7 8)")
+    ap.add_argument("--listcap-sweep", type=int, nargs="*", default=None,
+                    help="sweep capped top-k candidate lists in-run "
+                         "(0 means full argsort, e.g. "
+                         "--listcap-sweep 0 256 128)")
+    ap.add_argument("--wdot-sweep", action="store_true",
+                    help="A/B the winner-dot path (Lambert dot from packed "
+                         "picks vs from the decoded normal buffer)")
+    ap.add_argument("--grecomp-sweep", action="store_true",
+                    help="A/B the guard cold-path recompute (slow reroute "
+                         "inputs re-derived in-branch vs captured)")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="also time N back-to-back dispatches materialised "
                          "together (does the dispatch floor overlap "
@@ -171,6 +181,12 @@ def main() -> None:
                  else [trace_pallas.TRACE_FRAMES_PER_BLOCK])
         scaps = (args.slot_cap_sweep if args.slot_cap_sweep
                  else [anim.trace_slot_cap])
+        lcaps = (args.listcap_sweep if args.listcap_sweep
+                 else [r.shadow_list_cap])
+        wdots = ([True, False] if args.wdot_sweep
+                 else [r.shadow_winner_dot])
+        grecs = ([True, False] if args.grecomp_sweep
+                 else [r.shadow_guard_recompute])
         # Compile every config first, then time them in interleaved
         # rounds: the axon tunnel's ambient load drifts on the minutes
         # scale (same-config repeats differ by up to 0.07 ms/frame), so
@@ -186,14 +202,15 @@ def main() -> None:
                             import itertools
 
                             for (bo, ik, fpb, tfpb, scap, wm, kx, mx, sh,
-                                 p2) in \
+                                 p2, lc, wd, gr) in \
                                     itertools.product(bitmaps, ikeys,
                                                       fpbs, tfpbs, scaps,
                                                       winner_modes, kexps,
-                                                      mxs, shades, pick2s):
+                                                      mxs, shades, pick2s,
+                                                      lcaps, wdots, grecs):
                                 key = (rows, groups, trows, ch, bp,
                                        bo, ik, fpb, tfpb, scap, wm, kx,
-                                       mx, sh, p2)
+                                       mx, sh, p2, lc, wd, gr)
                                 if any(e[0] == key for e in entries):
                                     continue
                                 r.shadow_box_pack = bp
@@ -202,6 +219,9 @@ def main() -> None:
                                 r.shadow_member_expand = mx
                                 r.shadow_shade_kernel = sh
                                 r.trace_pick2 = p2
+                                r.shadow_list_cap = lc or None
+                                r.shadow_winner_dot = wd
+                                r.shadow_guard_recompute = gr
                                 shadow_pallas.BITMAP_ONDEMAND = bo
                                 trace_pallas.INCREMENTAL_KEYS = ik
                                 shadow_pallas.FRAMES_PER_BLOCK = fpb
@@ -225,13 +245,14 @@ def main() -> None:
                 ts.append(best)
         rays = 2 * cfg.view_width * cfg.view_height * F
         for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb, scap,
-             wm, kx, mx, sh, p2), _, ts in entries:
+             wm, kx, mx, sh, p2, lc, wd, gr), _, ts in entries:
             med = float(np.median(ts))
             lo = float(np.min(ts))
             print(f"R={rows} G={groups} TR={trows} C={ch} pack={int(bp)} "
                   f"od={int(bo)} ik={int(ik)} fpb={fpb} tfpb={tfpb} "
                   f"cap={scap} wm={int(wm)} kx={int(kx)} mx={int(mx)} "
-                  f"sh={int(sh)} p2={int(p2)} FULL "
+                  f"sh={int(sh)} p2={int(p2)} lc={lc} wd={int(wd)} "
+                  f"gr={int(gr)} FULL "
                   f"med {med*1e3:8.2f} ms ({med*1e3/F:6.3f} ms/f, "
                   f"{rays/med/1e6:6.1f} Mr/s)  best {lo*1e3:8.2f} "
                   f"({lo*1e3/F:6.3f})")
@@ -239,7 +260,7 @@ def main() -> None:
             import time as _t
 
             for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb,
-                 scap, wm, kx, mx, sh, p2), fn, _ in entries:
+                 scap, wm, kx, mx, sh, p2, lc, wd, gr), fn, _ in entries:
                 def burst(p, l, n=args.pipeline):
                     outs = [fn(p, l) for _ in range(n)]
                     return [np.asarray(o) for o in outs]
