@@ -145,13 +145,24 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     # epilogue.  Multi-light accumulation needs per-light lit masks, the
     # dithered style re-quantises, and the texel-gather color path has no
     # static rect decomposition — all keep the lit-mask output.
-    shade_kernel = bool(winner_mode
-                        and getattr(r, "shadow_shade_kernel", True)
-                        and lights.ndim == 2
-                        and r.style == "reference"
-                        and r.color_rects is not None
-                        and upto is None)
     pick2 = bool(winner_mode and getattr(r, "trace_pick2", False))
+    shade_capable = bool(winner_mode
+                         and lights.ndim == 2
+                         and r.style == "reference"
+                         and r.color_rects is not None
+                         and upto is None)
+    # In-kernel ray-dot (shade + pick2 + two-band normals): the kernel
+    # derives the Lambert dot itself via correctly-rounded divisions
+    # (ops/divkernel), so shade-in-kernel costs NO extra pixel window —
+    # the dot buffer the plain shade-kernel mode had to materialise for
+    # its window (the measured reason it lost) never exists.
+    ray_dot = bool(shade_capable and pick2
+                   and r.normal_bands is not None
+                   and r.shadow_guard == "fallback"
+                   and getattr(r, "shadow_ray_dot", True))
+    shade_kernel = bool(shade_capable
+                        and (ray_dot
+                             or getattr(r, "shadow_shade_kernel", False)))
     gbuf = trace_pallas.trace_pixels_pallas_batched(
         dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
         dscene.atlas_normal, dscene.palette, bins_ent, counts, dyn_pos,
@@ -357,7 +368,9 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                     rows_per_block=R, lane_groups=G, chunk=shadow_chunk,
                     packed_params=box_pack, winners=(win_a, win_b),
                     member_small=msmall, shade=shade_spec, pick2=pick2,
-                    depth_static=r.depth_static if pick2 else None)
+                    depth_static=r.depth_static if pick2 else None,
+                    ray_bands=r.normal_bands if ray_dot else None,
+                    lights=lights_f if ray_dot else None)
                 # Shade-in-kernel: the output is packed RGB, not a lit
                 # mask — pass it through.
                 return out_pad if shade_kernel else out_pad > 0
@@ -393,6 +406,17 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                 # Capped lists are exact only while every tile's
                 # relevant count fits the cap.
                 ok = ok & (jnp.max(blk_counts) <= lcap)
+            if ray_dot:
+                # In-kernel ray-dot division domain (ops/divkernel:
+                # |d| <= L < 2^13): L is the per-pixel L1 light
+                # distance; frames with a farther light reroute to the
+                # exact path.
+                wxi = jnp.arange(w_pad, dtype=jnp.int32)[None, None, :]
+                maxlen = jnp.max(
+                    jnp.abs(lights_f[:, 0][:, None, None] - wxi)
+                    + jnp.abs(lights_f[:, 1][:, None, None] - gbuf.y)
+                    + jnp.abs(lights_f[:, 2][:, None, None] - gbuf.z))
+                ok = ok & (maxlen < 8192)
 
             def slow_lit():
                 # Cold-path reroute.  Every per-pixel input is recomputed
@@ -420,14 +444,23 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                             depth_static=r.depth_static if pick2
                             else None)
                     )(wl)
-                    _, inv_s, orig_s, rb_s, lb_s = jax.vmap(
+                    tl_s, inv_s, orig_s, rb_s, lb_s = jax.vmap(
                         lambda g, l: shade_ops.light_geometry(g, l, cfg)
                     )(gb, lights_f)
                     ents = gb.entity_index
+                    # In-branch shade inputs (shade_kernel reroute): the
+                    # recomputed normal/color replace the fast path's dot
+                    # and color captures (winner_dot is float-identical
+                    # to the normal-buffer dot — see its docstring).
+                    dot_b = (gb.normal[..., 0] * tl_s[0]
+                             + gb.normal[..., 1] * tl_s[1]
+                             + gb.normal[..., 2] * tl_s[2])
+                    color_b = gb.color
                 else:
                     gb, inv_s, orig_s, rb_s, lb_s = (gbuf, inv, origin,
                                                      rb_g, lb)
                     ents = gbuf.entity_index
+                    dot_b, color_b = dot, gbuf.color
 
                 def one(args):
                     p, g, rbf, lbf, of, invf = args
@@ -451,8 +484,8 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                 # reroute packs the identical shade math (same dot, same
                 # color chains, same truncation) so both cond branches
                 # return the same structure and pixels.
-                factor = shade_ops.factor_from_dot(dot, lit, cfg)
-                ci = (gbuf.color[..., :3].astype(f32)
+                factor = shade_ops.factor_from_dot(dot_b, lit, cfg)
+                ci = (color_b[..., :3].astype(f32)
                       * factor[..., None]).astype(jnp.int32)
                 return ci[..., 0] | (ci[..., 1] << 8) | (ci[..., 2] << 16)
 

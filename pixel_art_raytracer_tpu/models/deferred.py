@@ -154,6 +154,18 @@ class DeferredRenderer:
         # deleted XLA epilogue, which XLA had fused well).  Default OFF;
         # kept as a tested opt-in for hardware with cheaper windows.
         self.shadow_shade_kernel = False
+        # In-kernel ray-dot shading (batched pipeline, winner-direct +
+        # pick2 + two-band normals + guarded): the shadow kernel derives
+        # the towards-light components itself with correctly-rounded
+        # divisions (ops/divkernel — bit-equal to cstyle.exact_f32_div on
+        # this operand class, exhaustively verified) and shades in VMEM.
+        # Unlike shadow_shade_kernel's windowed dot (measured a loss
+        # because the dot buffer had to materialise for its window), this
+        # mode adds NO pixel window — the XLA color chains, factor math,
+        # lit round trip, and the dot materialisation all disappear.
+        # Frames whose L1 light distance exceeds the division domain
+        # (2^13) reroute to the exact path via the shadow guard.
+        self.shadow_ray_dot = True
         # Lambert dot straight from the packed picks (batched pipeline,
         # winner mode): trace_pallas.winner_dot evaluates the two-band
         # select-chain dot from the A/B picks — the (F, h, w_pad, 3) f32

@@ -513,7 +513,7 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
                    zmul: int = 0, zshift: int = 0,
                    member_expand: bool = False, shade=None,
                    pick2: bool = False, depth_static=None,
-                   sprite_hw=None):
+                   sprite_hw=None, ray_bands=None):
     """Row-block body on a (frame_blocks, row_blocks) grid — every block
     carries a leading frame dim of ``frames``, so one launch shades a whole
     animation batch and each grid step shades ``frames`` frames' tiles.
@@ -553,8 +553,14 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
         trow_refs = rest[:nt]
         tbg_refs = rest[nt:2 * nt]
         rest = rest[2 * nt:]
-    n_pix = ((6 if pick2 else 7) if shade is not None else 5) \
-        if winner_inputs else 8
+    if ray_bands is not None:
+        # In-kernel ray-dot mode (shade + pick2 only): the Lambert dot
+        # derives from the picks + the frame's light scalars — no dot
+        # window at all.
+        n_pix = 5
+    else:
+        n_pix = ((6 if pick2 else 7) if shade is not None else 5) \
+            if winner_inputs else 8
     pix_refs = rest[:n_pix]
     out_ref = rest[n_pix]
     scratch = rest[n_pix + 1:]
@@ -583,7 +589,7 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
             view_height=view_height, zmul=zmul, zshift=zshift,
             trow_halves=trow_halves, member_expand=member_expand,
             shade=shade, pick2=pick2, depth_static=depth_static,
-            sprite_hw=sprite_hw)
+            sprite_hw=sprite_hw, ray_bands=ray_bands)
 
 
 def _shadow_frame_body(fb, block, g, list_row, ox, lane,
@@ -597,7 +603,7 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
                        view_height: int, zmul: int, zshift: int,
                        trow_halves: bool, member_expand: bool = False,
                        shade=None, pick2: bool = False, depth_static=None,
-                       sprite_hw=None):
+                       sprite_hw=None, ray_bands=None):
     """One frame's tile of the shadow kernel body (``fb`` indexes the
     frame within the grid step's frame block)."""
     if _ablate is not None and _ablate.startswith("empty"):
@@ -629,7 +635,12 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
         #   szidx  = clip(trunc_div(z, bin_size) - sz_lo, 0, SZ-1)
         # The int->f32 converts and truncating division replicate
         # cstyle exactly (z is int32; trunc = floor adjusted on z < 0).
-        if shade is not None and not pick2:
+        if ray_bands is not None:
+            # In-kernel ray-dot: no dot window (derived below from the
+            # picks + this frame's light scalars in meta).
+            wa_ref, wb_ref, ivx_ref, ivy_ref, ivz_ref = pix_refs
+            wc_ref = dot_ref = None
+        elif shade is not None and not pick2:
             (wa_ref, wb_ref, wc_ref, dot_ref,
              ivx_ref, ivy_ref, ivz_ref) = pix_refs
         elif shade is not None:
@@ -951,7 +962,41 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
     # sprites.hpp:8-16.
     rects, palette_rgb, background, ambient = shade
     f32 = jnp.float32
-    dot = dot_ref[fb]
+    if ray_bands is None:
+        dot = dot_ref[fb]
+    else:
+        # In-kernel Lambert dot: correctly-rounded towards-light
+        # components (ops/divkernel.rn_div_int == cstyle.exact_f32_div on
+        # this operand class, exhaustively verified) through the SAME
+        # two-band select chain as trace_pallas.winner_dot — the (F, h,
+        # w_pad) f32 dot buffer the shade window forced XLA to
+        # materialise never exists.  Callers guard the division domain
+        # (max L1 length < 2^13) and reroute hostile frames.  Reference
+        # float sequence: alternative.cpp:707-722, 744-747.
+        from .divkernel import rn_div_int
+
+        # Light scalars ride the tail of the meta row (see
+        # shadow_call_batched's meta concat).
+        lt0 = meta_ref[fb, 0, meta_ref.shape[2] - 3]
+        lt1 = meta_ref[fb, 0, meta_ref.shape[2] - 2]
+        lt2 = meta_ref[fb, 0, meta_ref.shape[2] - 1]
+        dxi = lt0 - lane
+        dyi = lt1 - y
+        dzi = lt2 - z
+        ln = jnp.abs(dxi) + jnp.abs(dyi) + jnp.abs(dzi)
+        tl0 = rn_div_int(dxi, ln)
+        tl1 = rn_div_int(dyi, ln)
+        tl2 = rn_div_int(dzi, ln)
+        splits, tops, fronts = ray_bands
+        dot = jnp.zeros((R, gw), f32)
+        for k in range(len(splits)):
+            def _arm(n):
+                return (f32(n[0]) * tl0 + f32(n[1]) * tl1
+                        + f32(n[2]) * tl2)
+
+            nk = jnp.where(srow < int(splits[k]), _arm(tops[k]),
+                           _arm(fronts[k]))
+            dot = jnp.where(hit & (sid_w == k), nk, dot)
     lit = occluded == 0
     amb = f32(ambient)
     # c_max(0, dot): where(0 < dot, dot, 0) — NaN dots keep 0.
@@ -998,7 +1043,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                         frames_per_block: int | None = None,
                         winners=None, member_small=None,
                         shade=None, pick2: bool = False,
-                        depth_static=None) -> jax.Array:
+                        depth_static=None, ray_bands=None,
+                        lights=None) -> jax.Array:
     """Launch the shadow kernel on a (frame_blocks, row_blocks) grid.
 
     ``member_small``: (F, n_sy, 2*(SZ+1)*nw, KXP) int32 small membership
@@ -1082,6 +1128,9 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         "shade-in-kernel requires winner-direct inputs"
     assert not pick2 or (winners is not None and depth_static is not None), \
         "pick2 winner inputs need the static depth decomposition"
+    assert ray_bands is None or (shade is not None and pick2
+                                 and lights is not None), \
+        "in-kernel ray-dot needs shade-in-kernel + pick2 + light scalars"
     if packed_params:
         M = cword.shape[2]
         Mq = M // 128
@@ -1102,8 +1151,11 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     # Per-step VMEM for one frame's windows (x2 for Mosaic's double
     # buffering): pixel inputs + the output block + the bin-row/bg
     # membership tables.
-    n_pix = ((6 if pick2 else 7) if shade is not None else 5) \
-        if winners is not None else 8
+    if ray_bands is not None:
+        n_pix = 5
+    else:
+        n_pix = ((6 if pick2 else 7) if shade is not None else 5) \
+            if winners is not None else 8
     frame_bytes = 2 * 4 * ((n_pix + 1) * R * gw
                            + (0 if member_expand else
                               (2 if trow_halves else 1)
@@ -1136,7 +1188,8 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                                shade=None if shade is None else shade[2:],
                                pick2=pick2, depth_static=depth_static,
                                sprite_hw=(cfg.sprite_height,
-                                          cfg.sprite_width))
+                                          cfg.sprite_width),
+                               ray_bands=ray_bands)
 
     # Window layout: the glue-split ablations (docs/PERF.md rule 14) showed
     # the stage floor is XLA glue (pad/stack copies feeding the kernel),
@@ -1145,7 +1198,9 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     # small broadcast tables (counts + sz ranges; the i32 param tables) are
     # merged host-side where the concat is cheap.
     if winners is not None:
-        if shade is not None and pick2:
+        if ray_bands is not None:
+            pixels = (winners[0], winners[1], ivx, ivy, ivz)
+        elif shade is not None and pick2:
             pixels = (winners[0], winners[1], shade[0], ivx, ivy, ivz)
         elif shade is not None:
             pixels = (winners[0], winners[1], shade[1], shade[0],
@@ -1155,9 +1210,12 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
     else:
         pixels = (szidx.astype(jnp.int32), bg.astype(jnp.int32),
                   start_ent.astype(jnp.int32), oy, oz, ivx, ivy, ivz)
-    meta = jnp.concatenate([blk_counts.astype(jnp.int32),
-                            blk_szrange.astype(jnp.int32)],
-                           axis=-1)[:, None, :]
+    meta_parts = [blk_counts.astype(jnp.int32),
+                  blk_szrange.astype(jnp.int32)]
+    if ray_bands is not None:
+        # Per-frame light scalars for the in-kernel ray-dot derivation.
+        meta_parts.append(lights.astype(jnp.int32))
+    meta = jnp.concatenate(meta_parts, axis=-1)[:, None, :]
 
     def pix():
         return pl.BlockSpec((FB, R, gw), lambda f, i, g: (f, i, g),
@@ -1297,9 +1355,10 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
         in_specs=[
             # The unit middle axis keeps the SMEM block's trailing dims
             # equal to the array's (the TPU lowering requires it).
-            pl.BlockSpec((FB, 1, NB * G + NB * 2),
+            pl.BlockSpec((FB, 1, meta.shape[2]),
                          lambda f, i, g: (f, 0, 0),
                          memory_space=pltpu.SMEM),    # counts + sz ranges
+                                                      # (+ light scalars)
             *param_specs,
             *([trow_spec] * len(trows)),              # t_row (per bin row)
             *([tbg_spec] * len(tbgs)),                # t_bg

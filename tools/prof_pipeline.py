@@ -89,6 +89,10 @@ def main() -> None:
     ap.add_argument("--grecomp-sweep", action="store_true",
                     help="A/B the guard cold-path recompute (slow reroute "
                          "inputs re-derived in-branch vs captured)")
+    ap.add_argument("--raydot-sweep", action="store_true",
+                    help="A/B in-kernel ray-dot shading (shadow kernel "
+                         "derives tl/dot itself and emits packed RGB) "
+                         "vs the lit-mask + XLA shade path")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="also time N back-to-back dispatches materialised "
                          "together (does the dispatch floor overlap "
@@ -187,6 +191,8 @@ def main() -> None:
                  else [r.shadow_winner_dot])
         grecs = ([True, False] if args.grecomp_sweep
                  else [r.shadow_guard_recompute])
+        rds = ([True, False] if args.raydot_sweep
+               else [getattr(r, "shadow_ray_dot", False)])
         # Compile every config first, then time them in interleaved
         # rounds: the axon tunnel's ambient load drifts on the minutes
         # scale (same-config repeats differ by up to 0.07 ms/frame), so
@@ -202,15 +208,16 @@ def main() -> None:
                             import itertools
 
                             for (bo, ik, fpb, tfpb, scap, wm, kx, mx, sh,
-                                 p2, lc, wd, gr) in \
+                                 p2, lc, wd, gr, rd) in \
                                     itertools.product(bitmaps, ikeys,
                                                       fpbs, tfpbs, scaps,
                                                       winner_modes, kexps,
                                                       mxs, shades, pick2s,
-                                                      lcaps, wdots, grecs):
+                                                      lcaps, wdots, grecs,
+                                                      rds):
                                 key = (rows, groups, trows, ch, bp,
                                        bo, ik, fpb, tfpb, scap, wm, kx,
-                                       mx, sh, p2, lc, wd, gr)
+                                       mx, sh, p2, lc, wd, gr, rd)
                                 if any(e[0] == key for e in entries):
                                     continue
                                 r.shadow_box_pack = bp
@@ -222,6 +229,7 @@ def main() -> None:
                                 r.shadow_list_cap = lc or None
                                 r.shadow_winner_dot = wd
                                 r.shadow_guard_recompute = gr
+                                r.shadow_ray_dot = rd
                                 shadow_pallas.BITMAP_ONDEMAND = bo
                                 trace_pallas.INCREMENTAL_KEYS = ik
                                 shadow_pallas.FRAMES_PER_BLOCK = fpb
@@ -245,14 +253,14 @@ def main() -> None:
                 ts.append(best)
         rays = 2 * cfg.view_width * cfg.view_height * F
         for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb, scap,
-             wm, kx, mx, sh, p2, lc, wd, gr), _, ts in entries:
+             wm, kx, mx, sh, p2, lc, wd, gr, rd), _, ts in entries:
             med = float(np.median(ts))
             lo = float(np.min(ts))
             print(f"R={rows} G={groups} TR={trows} C={ch} pack={int(bp)} "
                   f"od={int(bo)} ik={int(ik)} fpb={fpb} tfpb={tfpb} "
                   f"cap={scap} wm={int(wm)} kx={int(kx)} mx={int(mx)} "
                   f"sh={int(sh)} p2={int(p2)} lc={lc} wd={int(wd)} "
-                  f"gr={int(gr)} FULL "
+                  f"gr={int(gr)} rd={int(rd)} FULL "
                   f"med {med*1e3:8.2f} ms ({med*1e3/F:6.3f} ms/f, "
                   f"{rays/med/1e6:6.1f} Mr/s)  best {lo*1e3:8.2f} "
                   f"({lo*1e3/F:6.3f})")
@@ -260,7 +268,7 @@ def main() -> None:
             import time as _t
 
             for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb,
-                 scap, wm, kx, mx, sh, p2, lc, wd, gr), fn, _ in entries:
+                 scap, wm, kx, mx, sh, p2, lc, wd, gr, rd), fn, _ in entries:
                 def burst(p, l, n=args.pipeline):
                     outs = [fn(p, l) for _ in range(n)]
                     return [np.asarray(o) for o in outs]
