@@ -165,7 +165,14 @@ class DeferredRenderer:
         # lit round trip, and the dot materialisation all disappear.
         # Frames whose L1 light distance exceeds the division domain
         # (2^13) reroute to the exact path via the shadow guard.
-        self.shadow_ray_dot = True
+        # MEASURED NEUTRAL-TO-SLOWER on v5e graybox (interleaved A/B at
+        # F=64 G=1 TR=40: med 0.766/0.799 ms/f on vs 0.759/0.753 off,
+        # raydot_sweep.log): the in-kernel divisions + shade epilogue
+        # cost about what the deleted XLA shade/color/lit work saved.
+        # Default OFF; kept as a tested, parity-verified opt-in (it also
+        # documents the division primitives' kernel viability for a
+        # future fused-kernel design).
+        self.shadow_ray_dot = False
         # Lambert dot straight from the packed picks (batched pipeline,
         # winner mode): trace_pallas.winner_dot evaluates the two-band
         # select-chain dot from the A/B picks — the (F, h, w_pad, 3) f32
