@@ -275,10 +275,22 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                     + szidx.reshape(F, -1).sum(axis=1)
                     + bg.reshape(F, -1).sum(axis=1))
 
-        relc = jax.vmap(
-            lambda w, s, b, c, n: shadow_pallas.tile_candidate_relevance(
-                w, s, b, c, cfg, tables, R, lane_groups=G, needs=n)
-        )(words, szidx, bg, cands, needs)
+        if getattr(r, "shadow_rel_range", False):
+            # Range-hull relevance: the block's needs-gated [sz_lo,
+            # sz_hi) start rows (already folded for the kernel's bitmap
+            # loop) replace the exact per-pixel presence — a proved
+            # superset, so pruning stays exact while the per-pixel
+            # presence passes disappear (see range_candidate_relevance).
+            relc = jax.vmap(
+                lambda w, s, c: shadow_pallas.range_candidate_relevance(
+                    w, s, c, cfg, tables, R, lane_groups=G)
+            )(words, szr, cands)
+        else:
+            relc = jax.vmap(
+                lambda w, s, b, c, n:
+                shadow_pallas.tile_candidate_relevance(
+                    w, s, b, c, cfg, tables, R, lane_groups=G, needs=n)
+            )(words, szidx, bg, cands, needs)
         if upto == "rel":
             return relc.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
 

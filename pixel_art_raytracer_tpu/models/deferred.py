@@ -187,6 +187,18 @@ class DeferredRenderer:
         # even when the fast path runs (the round-4 HLO census put that
         # tuple among the largest HBM writers, ~10 MB/frame).
         self.shadow_guard_recompute = True
+        # Range-hull tile relevance (batched pipeline): per-block
+        # candidate relevance folds over the block's needs-gated
+        # [sz_lo, sz_hi) start-row HULL (already computed for the
+        # kernel) instead of exact per-pixel start presence — the
+        # presence fold's full passes over the pixel buffers disappear.
+        # A proved superset, so pruning stays exact; extra hull
+        # candidates only add kernel visits (small where the per-block
+        # sz spread is tight, as on the reference world).  Interleaved
+        # A/B at F=64 G=1 TR=40: center 0.748 vs 0.755 ms/f, edge_x
+        # 0.797 vs 0.795 — neutral-to-tiny-win with strictly less XLA
+        # glue, so it defaults ON (docs/PERF.md rule 15).
+        self.shadow_rel_range = True
         # Capped top-k candidate lists (batched pipeline, guarded): the
         # per-tile pruned lists carry at most this many entries instead
         # of the full M-wide argsort output; tiles that overflow the cap

@@ -268,6 +268,78 @@ def tile_candidate_relevance(member_words, szidx, bg, cands: Candidates,
     return relc & cands.valid[None, None]
 
 
+def range_candidate_relevance(member_words, blk_szrange, cands: Candidates,
+                              config: RenderConfig, tables: ShadowTables,
+                              rows_per_block: int, row0=0,
+                              lane_groups: int = 1):
+    """Per-row-block candidate relevance from the block's [sz_lo, sz_hi)
+    START-ROW HULL instead of exact per-pixel start presence.
+
+    ``tile_candidate_relevance`` folds a presence bit per (block, tile,
+    sx, sz) out of every pixel's start row — several full passes over the
+    (F, h, w_pad) pixel buffers.  This variant replaces the presence set
+    with its rectangular hull: every sx column (a row block always spans
+    all lane columns) crossed with the block's needs-gated sz range
+    (``block_sz_ranges`` — already computed for the kernel's bitmap
+    loop), so the whole fold runs on the SMALL (SX, SZ, nw) membership
+    row table and the pixel buffers are never re-read.
+
+    Exactness: the hull is a SUPERSET of the exact presence set, and
+    block relevance is monotone in presence (an OR), so every exactly-
+    relevant candidate stays relevant — extra candidates only add kernel
+    visits whose member tests are zero for every actually-present pixel
+    (the same argument as the pruning itself; unit-tested as a superset
+    and pixel-identical end-to-end).  The background start row
+    contributes nothing under diffuse gating: background pixels carry
+    zero normals (quirk Q6), so their Lambert dot is 0 and ``needs``
+    excludes them from presence in the exact fold too.
+
+    Returns relc (NB, G, M) bool — all G tiles of a block share the
+    block's relevance (the hull has no lane resolution).
+    """
+    cfg = config
+    R = rows_per_block
+    NB = blk_szrange.shape[0] // 2
+    SX = cfg.hash_width
+    SY = cfg.hash_height + 1
+    SZ = tables.sz_hi - tables.sz_lo
+    nw = member_words.shape[1]
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+
+    lo = blk_szrange.reshape(NB, 2)[:, 0]
+    hi = blk_szrange.reshape(NB, 2)[:, 1]
+    szi = jnp.arange(SZ, dtype=jnp.int32)
+    rmask = (szi[None, :] >= lo[:, None]) & (szi[None, :] < hi[:, None])
+
+    m = member_words.reshape(SX, SY, SZ, nw)
+    block_sy = (jnp.asarray(row0, jnp.int32)
+                + jnp.arange(NB, dtype=jnp.int32) * R) // cfg.bin_size
+    mrows = jnp.moveaxis(m[:, block_sy], 1, 0)        # (NB, SX, SZ, nw)
+    sel = jnp.where(rmask[:, None, :, None], mrows, jnp.uint32(0))
+    rel_words = jax.lax.reduce(sel, jnp.uint32(0), jax.lax.bitwise_or,
+                               (1, 2))                # (NB, nw)
+
+    # Candidate word select as a one-hot matmul (HIGHEST precision —
+    # 16-bit halves truncate in the default bf16 pass), then the
+    # occupied-bin mask test — same tail as tile_candidate_relevance.
+    wc = cands.bin // 32
+    onehot = (wc[:, None] == jnp.arange(nw, dtype=jnp.int32)).astype(f32)
+    lov = (rel_words & jnp.uint32(0xffff)).astype(f32)
+    hiv = (rel_words >> jnp.uint32(16)).astype(f32)
+    dn = (((1,), (1,)), ((), ()))
+    lo_c = jax.lax.dot_general(lov, onehot, dn, precision=hp,
+                               preferred_element_type=f32)
+    hi_c = jax.lax.dot_general(hiv, onehot, dn, precision=hp,
+                               preferred_element_type=f32)
+    word_c = (lo_c.astype(jnp.uint32)
+              | (hi_c.astype(jnp.uint32) << jnp.uint32(16)))
+    relc = (word_c[:, None]
+            & cands.mask.astype(jnp.uint32)[None, None]) != 0
+    relc = jnp.broadcast_to(relc, (NB, lane_groups, relc.shape[-1]))
+    return relc & cands.valid[None, None]
+
+
 def candidate_lists_from_relevance(cands: Candidates, rel):
     """Compact candidate index lists from an (NB, V) or (NB, G, V)
     relevance map.

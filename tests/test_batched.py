@@ -517,6 +517,51 @@ class TestTileRelevance:
                 words, szidx, bg, cands, cfg, tables, R, lane_groups=G))
             np.testing.assert_array_equal(packed, dense, err_msg=f"G={G}")
 
+    def test_range_hull_is_superset(self):
+        # range_candidate_relevance (block [sz_lo, sz_hi) hull) must keep
+        # every exactly-relevant candidate: hull relc >= exact relc
+        # elementwise (its exactness argument is superset + pruning
+        # monotonicity; end-to-end pixel equality is covered by the
+        # golden tier).
+        from pixel_art_raytracer_tpu.ops import shadow_pallas as sp
+        from pixel_art_raytracer_tpu.ops import shade as shade_ops
+
+        cfg = DEFAULT_CONFIG
+        scene = demo_world(8)
+        tables = shadow_fast.default_tables(cfg, max_candidates=1024)
+        r = make_anim(scene, batched=False).renderer
+        ds = DeviceScene.from_scene(scene)
+        be, cnt = jax.jit(r.build_bins)(ds)
+        gbuf = r.trace(ds, be, cnt)
+        la = jnp.asarray(default_light().as_array())
+        tl, inv, origin, rb, lb = shade_ops.light_geometry(gbuf, la, cfg)
+        words = shadow_fast.dda_membership_words(lb, cfg, tables)
+        member = shadow_fast.unpack_member_words(words, cfg)
+        cands = shadow_fast.build_candidates(
+            ds.pos, ds.ext, be, cnt, None, cfg, tables,
+            tested_any=member.any(axis=0))
+        SZ = tables.sz_hi - tables.sz_lo
+        W = cfg.view_width
+        w_pad = -(-W // 128) * 128
+
+        def padw(a):
+            return jnp.pad(a, ((0, 0), (0, w_pad - a.shape[-1])))
+
+        szidx = padw(jnp.clip(rb[2] - tables.sz_lo, 0, SZ - 1))
+        bg = padw(((gbuf.y + gbuf.z) == 0).astype(jnp.int32))
+        dot = (gbuf.normal[..., 0] * tl[0] + gbuf.normal[..., 1] * tl[1]
+               + gbuf.normal[..., 2] * tl[2])
+        needs = padw((dot > 0).astype(jnp.int32))
+        R = 40
+        for G in (1, 2):
+            exact = np.asarray(sp.tile_candidate_relevance(
+                words, szidx, bg, cands, cfg, tables, R, lane_groups=G,
+                needs=needs))
+            szr = sp.block_sz_ranges(szidx, bg, W, R, SZ, needs=needs)
+            hull = np.asarray(sp.range_candidate_relevance(
+                words, szr, cands, cfg, tables, R, lane_groups=G))
+            assert (hull | ~exact).all(), f"hull dropped candidates, G={G}"
+
 
 class TestTraceCompaction:
     @pytest.mark.slow
