@@ -160,6 +160,12 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                    and r.normal_bands is not None
                    and r.shadow_guard == "fallback"
                    and getattr(r, "shadow_ray_dot", True))
+    # Integer-exact light geometry (divkernel primitives instead of the
+    # f64 emulation): value-identical within the guarded L1-distance
+    # domain, and the division chains fuse instead of materialising f64
+    # pixel buffers.  Needs the guard (hostile lights reroute).
+    int_geom = bool(not directional and r.shadow_guard == "fallback"
+                    and getattr(r, "shadow_int_geom", True))
     shade_kernel = bool(shade_capable
                         and (ray_dot
                              or getattr(r, "shadow_shade_kernel", False)))
@@ -197,7 +203,8 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     geom_light = (jnp.zeros((F, 3), jnp.int32) if directional
                   else lights_l[:, 0])
     _, _, origin, rb, _ = jax.vmap(
-        lambda g, l: shade_ops.light_geometry(g, l, cfg))(gbuf, geom_light)
+        lambda g, l: shade_ops.light_geometry(g, l, cfg, int_geom)
+    )(gbuf, geom_light)
     szidx = _padw(jnp.clip(rb[2] - tables.sz_lo, 0, SZ - 1), w_pad)
     # Background pixels (zero G-buffer y/z, quirk Q6) use the aliased
     # background start row; wy+wz == world_j >= 1 for hits.
@@ -219,7 +226,8 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         materialise — fuses into the dot and never hits HBM.  Same float
         ops in the same order as ops.shade.brightness_factor."""
         tl, inv, _, rb_g, lb = jax.vmap(
-            lambda g, l: shade_ops.light_geometry(g, l, cfg))(gbuf, lights_f)
+            lambda g, l: shade_ops.light_geometry(g, l, cfg, int_geom)
+        )(gbuf, lights_f)
         # Shadow-needed mask: a pixel with Lambert dot <= 0 shades to the
         # ambient factor whether lit or not (min(1, max(0, dot) + ambient)
         # == ambient, alternative.cpp:744-758), so it can be excluded from
@@ -418,11 +426,10 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                 # Capped lists are exact only while every tile's
                 # relevant count fits the cap.
                 ok = ok & (jnp.max(blk_counts) <= lcap)
-            if ray_dot:
-                # In-kernel ray-dot division domain (ops/divkernel:
-                # |d| <= L < 2^13): L is the per-pixel L1 light
-                # distance; frames with a farther light reroute to the
-                # exact path.
+            if ray_dot or int_geom:
+                # divkernel division domain (|d| <= L < 2^13): L is the
+                # per-pixel L1 light distance; frames with a farther
+                # light reroute to the exact f64-emulation path.
                 wxi = jnp.arange(w_pad, dtype=jnp.int32)[None, None, :]
                 maxlen = jnp.max(
                     jnp.abs(lights_f[:, 0][:, None, None] - wxi)

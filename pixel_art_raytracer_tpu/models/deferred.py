@@ -187,6 +187,20 @@ class DeferredRenderer:
         # even when the fast path runs (the round-4 HLO census put that
         # tuple among the largest HBM writers, ~10 MB/frame).
         self.shadow_guard_recompute = True
+        # Integer-exact light geometry (batched pipeline, guarded): the
+        # six correctly-rounded per-pixel divisions (towards-light
+        # components + reciprocals) run through ops/divkernel's
+        # integer-class primitives instead of the float64 emulation —
+        # value-identical within the guarded L1-distance domain
+        # (< 2^13; hostile lights reroute via the shadow guard), and
+        # the chains FUSE: the round-4 HLO census put the f64
+        # emulation's materialised pixel buffers (~12 MB/frame of f64
+        # temporaries, get-tuple-elements, and barrier-forced tl
+        # buffers) among the program's largest HBM writers.  Interleaved
+        # A/B at F=64: 0.831 vs 0.829 ms/f — speed-NEUTRAL (the deleted
+        # buffer traffic overlaps something else); default ON for the
+        # smaller program footprint (docs/PERF.md rule 15).
+        self.shadow_int_geom = True
         # Range-hull tile relevance (batched pipeline): per-block
         # candidate relevance folds over the block's needs-gated
         # [sz_lo, sz_hi) start-row HULL (already computed for the

@@ -45,7 +45,7 @@ def shade(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
 
 
 def light_geometry(gbuf: GBufferArrays, light: jax.Array,
-                   config: RenderConfig):
+                   config: RenderConfig, int_exact: bool = False):
     """Per-pixel shadow-ray geometry (alternative.cpp:707-732): L1-normalised
     towards-light direction, reciprocal direction, ray/light bin coords, and
     float origin.  Returns (tl, inv, origin, rb, lb) — each a 3-tuple of
@@ -54,6 +54,17 @@ def light_geometry(gbuf: GBufferArrays, light: jax.Array,
     Extracted from :func:`lighting_factor` so batched drivers can vmap it;
     the op sequence is exactly the reference's (parity-critical: the
     optimization barrier preserves the 1/(d/len) double rounding).
+
+    ``int_exact``: compute the six correctly-rounded divisions with the
+    integer-class primitives (ops/divkernel) instead of the float64
+    emulation.  Value-identical within the primitives' domain — the
+    per-pixel L1 light distance must stay below 2^13 (callers guard and
+    reroute, see models/batched.py) — but pure f32/i32 vector ops, so
+    XLA fuses the whole chain instead of materialising float64 pixel
+    buffers (the round-4 HLO census put the f64 emulation's buffers
+    among the program's largest HBM writers, ~12 MB/frame).  No
+    optimization barrier needed: the long-division form has no 1/(d/len)
+    algebra XLA could fold.
     """
     cfg = config
     # Lane count from the G-buffer itself: the batched pipeline keeps its
@@ -70,21 +81,37 @@ def light_geometry(gbuf: GBufferArrays, light: jax.Array,
     wz = gbuf.z
 
     lx, ly, lz = light[0], light[1], light[2]
-    dx = lx.astype(f32) - wx.astype(f32)
-    dy = ly.astype(f32) - wy.astype(f32)
-    dz = lz.astype(f32) - wz.astype(f32)
-    # L1 normalisation (sprites.hpp:28-35, quirk Q2).
-    length = jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz)
-    # Correctly-rounded divisions (TPU's native f32 divide is ~1 ulp off);
-    # the barrier stops XLA folding 1/(d/len) into len/d, which would remove
-    # one rounding step the reference performs.
-    tlx = exact_f32_div(dx, length)
-    tly = exact_f32_div(dy, length)
-    tlz = exact_f32_div(dz, length)
-    tlx, tly, tlz = jax.lax.optimization_barrier((tlx, tly, tlz))
-    one = jnp.ones_like(tlx)
-    inv = (exact_f32_div(one, tlx), exact_f32_div(one, tly),
-           exact_f32_div(one, tlz))
+    if int_exact:
+        from .divkernel import rn_div_int, rn_recip
+
+        # Integer light deltas are exact in both int32 and f32 (the f32
+        # subtraction below rounds only beyond 2^24, far past the
+        # guarded domain), so RN(d / length) over the ints equals the
+        # reference's f32-operand division bit for bit.
+        dxi = lx - wx
+        dyi = ly - wy
+        dzi = lz - wz
+        ln = jnp.abs(dxi) + jnp.abs(dyi) + jnp.abs(dzi)
+        tlx = rn_div_int(dxi, ln)
+        tly = rn_div_int(dyi, ln)
+        tlz = rn_div_int(dzi, ln)
+        inv = (rn_recip(tlx), rn_recip(tly), rn_recip(tlz))
+    else:
+        dx = lx.astype(f32) - wx.astype(f32)
+        dy = ly.astype(f32) - wy.astype(f32)
+        dz = lz.astype(f32) - wz.astype(f32)
+        # L1 normalisation (sprites.hpp:28-35, quirk Q2).
+        length = jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz)
+        # Correctly-rounded divisions (TPU's native f32 divide is ~1 ulp
+        # off); the barrier stops XLA folding 1/(d/len) into len/d, which
+        # would remove one rounding step the reference performs.
+        tlx = exact_f32_div(dx, length)
+        tly = exact_f32_div(dy, length)
+        tlz = exact_f32_div(dz, length)
+        tlx, tly, tlz = jax.lax.optimization_barrier((tlx, tly, tlz))
+        one = jnp.ones_like(tlx)
+        inv = (exact_f32_div(one, tlx), exact_f32_div(one, tly),
+               exact_f32_div(one, tlz))
 
     # Bin coordinates (alternative.cpp:724-732), C-truncating division.
     rb = (c_div(wx, bs),

@@ -89,6 +89,9 @@ def main() -> None:
     ap.add_argument("--grecomp-sweep", action="store_true",
                     help="A/B the guard cold-path recompute (slow reroute "
                          "inputs re-derived in-branch vs captured)")
+    ap.add_argument("--intgeom-sweep", action="store_true",
+                    help="A/B integer-exact vs f64-emulated light "
+                         "geometry (r.shadow_int_geom)")
     ap.add_argument("--relrange-sweep", action="store_true",
                     help="A/B range-hull vs exact-presence tile "
                          "relevance (r.shadow_rel_range)")
@@ -198,6 +201,8 @@ def main() -> None:
                else [getattr(r, "shadow_ray_dot", False)])
         rrs = ([True, False] if args.relrange_sweep
                else [getattr(r, "shadow_rel_range", False)])
+        igs = ([True, False] if args.intgeom_sweep
+               else [getattr(r, "shadow_int_geom", False)])
         # Compile every config first, then time them in interleaved
         # rounds: the axon tunnel's ambient load drifts on the minutes
         # scale (same-config repeats differ by up to 0.07 ms/frame), so
@@ -213,16 +218,17 @@ def main() -> None:
                             import itertools
 
                             for (bo, ik, fpb, tfpb, scap, wm, kx, mx, sh,
-                                 p2, lc, wd, gr, rd, rr) in \
+                                 p2, lc, wd, gr, rd, rr, ig) in \
                                     itertools.product(bitmaps, ikeys,
                                                       fpbs, tfpbs, scaps,
                                                       winner_modes, kexps,
                                                       mxs, shades, pick2s,
                                                       lcaps, wdots, grecs,
-                                                      rds, rrs):
+                                                      rds, rrs, igs):
                                 key = (rows, groups, trows, ch, bp,
                                        bo, ik, fpb, tfpb, scap, wm, kx,
-                                       mx, sh, p2, lc, wd, gr, rd, rr)
+                                       mx, sh, p2, lc, wd, gr, rd, rr,
+                                       ig)
                                 if any(e[0] == key for e in entries):
                                     continue
                                 r.shadow_box_pack = bp
@@ -236,6 +242,7 @@ def main() -> None:
                                 r.shadow_guard_recompute = gr
                                 r.shadow_ray_dot = rd
                                 r.shadow_rel_range = rr
+                                r.shadow_int_geom = ig
                                 shadow_pallas.BITMAP_ONDEMAND = bo
                                 trace_pallas.INCREMENTAL_KEYS = ik
                                 shadow_pallas.FRAMES_PER_BLOCK = fpb
@@ -259,14 +266,16 @@ def main() -> None:
                 ts.append(best)
         rays = 2 * cfg.view_width * cfg.view_height * F
         for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb, scap,
-             wm, kx, mx, sh, p2, lc, wd, gr, rd, rr), _, ts in entries:
+             wm, kx, mx, sh, p2, lc, wd, gr, rd, rr,
+             ig), _, ts in entries:
             med = float(np.median(ts))
             lo = float(np.min(ts))
             print(f"R={rows} G={groups} TR={trows} C={ch} pack={int(bp)} "
                   f"od={int(bo)} ik={int(ik)} fpb={fpb} tfpb={tfpb} "
                   f"cap={scap} wm={int(wm)} kx={int(kx)} mx={int(mx)} "
                   f"sh={int(sh)} p2={int(p2)} lc={lc} wd={int(wd)} "
-                  f"gr={int(gr)} rd={int(rd)} rr={int(rr)} FULL "
+                  f"gr={int(gr)} rd={int(rd)} rr={int(rr)} "
+                  f"ig={int(ig)} FULL "
                   f"med {med*1e3:8.2f} ms ({med*1e3/F:6.3f} ms/f, "
                   f"{rays/med/1e6:6.1f} Mr/s)  best {lo*1e3:8.2f} "
                   f"({lo*1e3/F:6.3f})")
@@ -275,7 +284,7 @@ def main() -> None:
 
             for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb,
                  scap, wm, kx, mx, sh, p2, lc, wd, gr, rd,
-                 rr), fn, _ in entries:
+                 rr, ig), fn, _ in entries:
                 def burst(p, l, n=args.pipeline):
                     outs = [fn(p, l) for _ in range(n)]
                     return [np.asarray(o) for o in outs]
