@@ -55,6 +55,23 @@ class TestBatchedParity:
         np.testing.assert_array_equal(f_bat, f_scan)
 
     @pytest.mark.slow
+    def test_raydot_kernel_matches_default(self):
+        # In-kernel ray-dot shading (shadow_ray_dot: the shadow kernel
+        # derives tl/dot via divkernel's correctly-rounded divisions and
+        # emits packed RGB) is a tested opt-in — must stay
+        # pixel-identical to the default lit-mask + XLA shade path.
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        a_def = make_anim(scene, batched=True)
+        a_ray = make_anim(scene, batched=True)
+        a_ray.renderer.shadow_ray_dot = True
+        assert a_ray.renderer.trace_pick2, "ray-dot needs pick2 bounds"
+        players, lights = sweep(a_def, scene, 2)
+        f_def = np.asarray(a_def.render_states(ds, players, lights))
+        f_ray = np.asarray(a_ray.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_ray, f_def)
+
+    @pytest.mark.slow
     def test_multi_light_batched(self):
         # (F, L, 3) lights: the batched pipeline runs its shadow phases per
         # light and accumulates diffuse over the shared ambient base — must
