@@ -112,6 +112,37 @@ def time_runs(fn, *args, iters: int = 3) -> float:
     return best
 
 
+def measure_tunnel_conditions() -> dict:
+    """Evidence of the remote-TPU tunnel's ambient state at bench time.
+
+    The tunnel's fixed per-dispatch cost and its drift swing end-to-end
+    numbers by ±25% session to session (observed across round 3-4 runs
+    at identical code): record a tiny fixed probe — the round-trip time
+    of a trivial dispatch (the dispatch floor) — so an anomalously slow
+    headline is attributable to the tunnel instead of silently reading
+    as a regression.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def probe(x):
+        return x + 1
+
+    x = jnp.zeros((8,), jnp.int32)
+    _ = np.asarray(probe(x))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(probe(x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return {
+        "dispatch_floor_ms_best": round(times[0] * 1e3, 1),
+        "dispatch_floor_ms_worst": round(times[-1] * 1e3, 1),
+    }
+
+
 def _require_device(timeout_s: int = 300) -> None:
     """Fail loudly if the backend can't supply a device within timeout_s
     (a downed tunnel otherwise hangs the bench forever — see
@@ -150,6 +181,7 @@ def main() -> None:
     # contend the single-thread C++ measurement), bounded so a downed
     # tunnel errors out instead of hanging the bench forever.
     _require_device()
+    tunnel_conditions = measure_tunnel_conditions()
     tables = shadow_fast.derive_tables(config, scene)
     renderer = DeferredRenderer(config, shadow_impl="pallas",
                                 trace_impl="auto", shadow_tables=tables)
@@ -265,6 +297,7 @@ def main() -> None:
         "frames": n_frames,
         "baseline_cpp_mrays": round(baseline, 2),
         "baseline_conditions": baseline_conditions,
+        "tunnel_conditions": tunnel_conditions,
         "parity": parity,
     }))
     if not parity:
