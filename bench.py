@@ -245,7 +245,12 @@ def main() -> None:
 
         burst()                                 # warm + compile
         best = float("inf")
-        for _ in range(2):
+        # Best-of-4: the tunnel's ambient load drifts on the minutes
+        # scale (identical code measured 0.53 vs 0.62 ms/f ninety
+        # minutes apart) — peak sustained over more samples is the
+        # honest throughput figure, symmetric with the baseline's
+        # best-of-5.
+        for _ in range(4):
             t0 = time.perf_counter()
             burst()
             best = min(best, (time.perf_counter() - t0) / bursts)
@@ -254,7 +259,8 @@ def main() -> None:
     rays = 2 * W * H * n_frames
     delivered, sustained = {}, {}
     for name, (players, lights) in sweeps.items():
-        best = time_runs(run_delivered_cs, dscene, players, lights)
+        best = time_runs(run_delivered_cs, dscene, players, lights,
+                         iters=4)
         delivered[name] = rays / best / 1e6
         sustained[name] = rays / time_sustained(players, lights) / 1e6
     fused_center = rays / time_runs(run_fused, dscene,
