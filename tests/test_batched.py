@@ -221,13 +221,17 @@ class TestBatchedParity:
 
         orig = sp.candidate_lists_from_relc
 
-        def reversed_lists(relc):
-            lists, counts = orig(relc)
+        def reversed_lists(relc, cap=None):
+            # Signature must track the production call (the capped top-k
+            # variant passes cap=); reverse only the in-list prefix —
+            # with a cap, counts can exceed the list width (the guard
+            # reroutes such batches, but the lists still build).
+            lists, counts = orig(relc, cap=cap)
             idx = jnp.arange(lists.shape[-1], dtype=jnp.int32)
+            n = jnp.minimum(counts, lists.shape[-1])[..., None]
             rev = jnp.take_along_axis(
-                lists, (counts[..., None] - 1 - idx) % lists.shape[-1],
-                axis=-1)
-            return jnp.where(idx < counts[..., None], rev, lists), counts
+                lists, (n - 1 - idx) % lists.shape[-1], axis=-1)
+            return jnp.where(idx < n, rev, lists), counts
 
         monkeypatch.setattr(sp, "candidate_lists_from_relc",
                             reversed_lists)
