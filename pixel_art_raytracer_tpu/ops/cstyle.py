@@ -92,10 +92,17 @@ def exact_f32_div(a, b):
     XLA:TPU lowers f32 division to a reciprocal refinement that is ~1 ulp off
     for a third of operands (measured), which flips truncation-boundary
     pixels vs the C++ reference.  On TPU the quotient runs in (emulated)
-    float64 and rounds back — provably exact for this renderer's operand
-    classes: small-integer-valued numerators/denominators (L1 lengths, bin
-    distances) and reciprocals of f32 values, whose quotients are never
-    within double-rounding distance of an f32 boundary.
+    float64 and rounds back — exact for the renderer's small-integer ratio
+    class (|n| <= L < 2^13: verified exhaustively on device against
+    ops/divkernel.rn_div_int, 2^26 pairs, 0 mismatches —
+    tools/verify_divkernel_tpu.py).
+
+    NOT exact for arbitrary reciprocals: TPU's emulated f64 divide is not
+    correctly rounded in its last bits, and for 12 of 2^23 mantissas the
+    true reciprocal sits within that error just above an f32 tie point —
+    the emulation rounds-to-even DOWN where IEEE rounds up (measured on
+    device, adjudicated against host IEEE; same 12 mantissas at every
+    exponent).  Reciprocals must use :func:`exact_f32_recip` instead.
 
     On CPU, plain division is already IEEE — no overhead.
     """
@@ -109,6 +116,63 @@ def exact_f32_div(a, b):
     q = a.astype(jnp.float64) / b.astype(jnp.float64)
     assert q.dtype == jnp.float64, "explicit float64 unavailable"
     return q.astype(jnp.float32)
+
+
+def _recip_tpu_impl(x):
+    """The TPU lowering of :func:`exact_f32_recip`: divkernel's verified
+    long-division reciprocal wherever both input and output are normal
+    f32 (plus the zero/NaN edge cases it handles natively), the float64
+    emulation only at the exotic extremes outside divkernel's domain
+    (subnormal input, or |x| large enough that 1/x leaves the normal
+    range).  Backend-agnostic jnp code so the CPU test suite can verify
+    it bit-for-bit against IEEE (tests/test_divkernel.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .divkernel import rn_recip
+
+    x = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    efield = (bits >> 23) & 0xff
+    # Normal input whose reciprocal is also normal: e in [-126, 125]
+    # (efield in [1, 252]) guarantees |1/x| in (2^-126, 2^127) — rn_recip's
+    # verified domain; zero (-> signed inf) and NaN are handled exactly by
+    # rn_recip itself.  Subnormal x and e >= 126 (reciprocal can go
+    # subnormal) keep the f64 emulation.
+    mag_zero = (bits & 0x7fffffff) == 0
+    in_domain = ((efield >= 1) & (efield <= 252)) | mag_zero | jnp.isnan(x)
+    emu = exact_f32_div(jnp.ones_like(x), x)
+    return jnp.where(in_domain, rn_recip(x), emu)
+
+
+def exact_f32_recip(x):
+    """Correctly-rounded float32 reciprocal on every backend.
+
+    On TPU this CANNOT be ``exact_f32_div(1, x)``: the emulated-f64 route
+    is 1 ulp below IEEE for 12 of 2^23 mantissas (reciprocal just above an
+    f32 tie — see exact_f32_div's docstring).  Those mantissas are
+    unreachable for quotients RN(d/L) of the guarded integer class
+    (|d| <= L < 2^13, checked exhaustively on host), which is why every
+    parity certificate predating this function remains valid — but the
+    directional-light paths take arbitrary float directions where they ARE
+    reachable.  Uses ops/divkernel.rn_recip (exhaustively verified against
+    IEEE on CPU and on the real TPU) for all normal-range inputs.
+
+    Contract: IEEE-exact for every normal ``x`` whose reciprocal is also
+    normal (exponents in [-126, 125] — all L1-normalized directions
+    qualify), plus +/-0 -> +/-inf, +/-inf -> +/-0, NaN -> NaN.  Subnormal
+    ``x`` and |x| >= 2^126 follow the platform's flush-to-zero semantics
+    (TPU and XLA:CPU both DAZ/FTZ there), not IEEE.
+
+    On CPU, plain division is already IEEE — no overhead.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        import jax.numpy as jnp
+
+        return jnp.ones_like(x) / x
+    return _recip_tpu_impl(x)
 
 
 _X64_READY = False

@@ -79,11 +79,25 @@ def _divstep(N, L, Lf, n_fix: int = 3):
     return q, r
 
 
-def _assemble(m, k, neg):
-    """(-1)^neg * m * 2^k for an int32 mantissa m in [2^23, 2^24] and
-    exponent k in the normal range.  f32(m) is exact (m <= 2^24) and the
-    power-of-two scale is exact, so no rounding happens here."""
-    mag = m.astype(_F32) * _pow2(k)
+def _assemble(m, k, neg, wide: bool = False):
+    """(-1)^neg * m * 2^k for an int32 mantissa m in [2^23, 2^24] and a
+    normal final value.  f32(m) is exact (m <= 2^24) and the power-of-two
+    scale is exact, so no rounding happens here.
+
+    ``wide``: allow k down to -149 (final value still normal, i.e.
+    m * 2^k >= 2^-126) by splitting the scale in two exact steps —
+    _pow2 alone cannot encode k < -126.  Off by default: rn_div_int's k
+    never leaves [-62, 13] and the extra select+multiply would ride its
+    Mosaic hot path."""
+    if wide:
+        lo = k < -126
+        k1 = jnp.where(lo, jnp.int32(-126), k)
+        k2 = jnp.where(lo, k + 126, jnp.int32(0))
+        # m * 2^-126 is exact (>= 2^-103, normal); the second scale lands
+        # on the final value, representable by the normal-result domain.
+        mag = m.astype(_F32) * _pow2(k1) * _pow2(k2)
+    else:
+        mag = m.astype(_F32) * _pow2(k)
     return jnp.where(neg, -mag, mag)
 
 
@@ -143,8 +157,11 @@ def rn_recip(x):
     """Correctly-rounded f32 reciprocal of f32 ``x``.
 
     Domain: any finite normal ``x`` whose reciprocal stays in the normal
-    range (the renderer's |x| <= 1 class trivially does); plus the edge
-    cases the geometry produces: x == +/-0 -> +/-inf, NaN -> NaN.
+    range — exponents e in [-126, 125]; the renderer's |x| <= 1 class
+    trivially qualifies — plus the edge cases the geometry produces:
+    x == +/-0 -> +/-inf, NaN -> NaN.  (Subnormal ``x``, and e >= 126
+    where 1/x can go subnormal, are OUTSIDE the domain — callers such as
+    cstyle.exact_f32_recip route those to the f64 emulation.)
 
     Method: decompose x = s * m * 2^(e-23) with a 24-bit integer mantissa
     m; M = floor(2^48 / m) in [2^24, 2^25] plus its remainder-sticky give
@@ -174,7 +191,8 @@ def rn_recip(x):
     up = (g != 0) & (sticky0 | ((m24 & 1) != 0))
     m24 = m24 + up.astype(_I32)
     # value = (M + frac) * 2^(-48) / 2^(e - 23) = m24 * 2^(-24 - e).
-    q = _assemble(m24, -24 - e, neg)
+    # wide: e up to 125 (normal-reciprocal domain) puts k as low as -149.
+    q = _assemble(m24, -24 - e, neg, wide=True)
 
     is_zero = (bits & 0x7fffffff) == 0
     is_nan = jnp.isnan(x)

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
-from .cstyle import c_min, c_max, c_div, exact_f32_div
+from .cstyle import c_min, c_max, c_div, exact_f32_div, exact_f32_recip
 from .shadow import trace_light
 from .trace import GBufferArrays
 
@@ -109,9 +109,8 @@ def light_geometry(gbuf: GBufferArrays, light: jax.Array,
         tly = exact_f32_div(dy, length)
         tlz = exact_f32_div(dz, length)
         tlx, tly, tlz = jax.lax.optimization_barrier((tlx, tly, tlz))
-        one = jnp.ones_like(tlx)
-        inv = (exact_f32_div(one, tlx), exact_f32_div(one, tly),
-               exact_f32_div(one, tlz))
+        inv = (exact_f32_recip(tlx), exact_f32_recip(tly),
+               exact_f32_recip(tlz))
 
     # Bin coordinates (alternative.cpp:724-732), C-truncating division.
     rb = (c_div(wx, bs),
@@ -316,9 +315,8 @@ def shade_directional(pos: jax.Array, ext: jax.Array, gbuf: GBufferArrays,
     tly = exact_f32_div(d[1], length)
     tlz = exact_f32_div(d[2], length)
     tlx, tly, tlz = jax.lax.optimization_barrier((tlx, tly, tlz))
-    one = jnp.ones_like(tlx)
-    inv = (exact_f32_div(one, tlx), exact_f32_div(one, tly),
-           exact_f32_div(one, tlz))
+    inv = (exact_f32_recip(tlx), exact_f32_recip(tly),
+           exact_f32_recip(tlz))
 
     rbx = c_div(wx, bs)
     rby = c_div(jnp.int32(cfg.view_height) - wy - wz, bs)

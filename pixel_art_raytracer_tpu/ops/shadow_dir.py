@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
-from .cstyle import c_div, exact_f32_div
+from .cstyle import c_div, exact_f32_div, exact_f32_recip
 from . import shadow_fast
 from .shadow_fast import ShadowTables
 
@@ -75,9 +75,8 @@ def direction_constants(direction, config: RenderConfig):
     tly = exact_f32_div(d[1], length)
     tlz = exact_f32_div(d[2], length)
     tlx, tly, tlz = jax.lax.optimization_barrier((tlx, tly, tlz))
-    one = jnp.ones_like(tlx)
-    inv = (exact_f32_div(one, tlx), exact_f32_div(one, tly),
-           exact_f32_div(one, tlz))
+    inv = (exact_f32_recip(tlx), exact_f32_recip(tly),
+           exact_f32_recip(tlz))
     span = max(cfg.view_width, cfg.view_height, cfg.view_length) * 2
     K = tuple((t * span).astype(jnp.int32) for t in (tlx, tly, tlz))
     return (tlx, tly, tlz), inv, K

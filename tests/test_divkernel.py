@@ -97,6 +97,91 @@ class TestRecip:
         ref = np.float32(1.0) / x
         assert np.array_equal(_bits(q), _bits(ref))
 
+    # The 12 mantissas whose true reciprocal sits just above an f32 tie
+    # point — measured on real TPU as the exact set where the f64-emulated
+    # exact_f32_div rounds 1 ulp BELOW IEEE (tools/verify_divkernel_tpu.py,
+    # adjudicated against host IEEE).  rn_recip must get every one right
+    # at every exponent of its domain.
+    TIE_MANTISSAS = [0x224cf7, 0x2d1367, 0x384a93, 0x543d43, 0x61368b,
+                     0x625473, 0x6c7ec7, 0x702a3b, 0x70ff0f, 0x7c3237,
+                     0x7e01ff, 0x7fffff]
+
+    def test_tie_adjacent_mantissas_all_exponents(self):
+        man = np.asarray(self.TIE_MANTISSAS, np.int64)
+        rec = jax.jit(rn_recip)
+        for e in range(-126, 126):
+            for sign_bit in (0, 1 << 31):
+                bits = (((e + 127) << 23) | man) | sign_bit
+                x = bits.astype(np.uint32).view(np.float32)
+                q = np.asarray(rec(jnp.asarray(x)))
+                ref = np.float32(1.0) / x
+                assert np.array_equal(_bits(q), _bits(ref)), (e, sign_bit)
+
+    def test_wide_exponents(self):
+        # e in [103, 125]: reciprocals below 2^-103 exercise _assemble's
+        # wide two-step scale (single _pow2 cannot encode k < -126).
+        rng = np.random.default_rng(3)
+        man = np.concatenate([
+            np.asarray([0, 1, (1 << 23) - 1] + self.TIE_MANTISSAS,
+                       np.int64),
+            rng.integers(0, 1 << 23, 4096)]).astype(np.int64)
+        rec = jax.jit(rn_recip)
+        for e in list(range(103, 126)) + [-126, -125, 102]:
+            for sign_bit in (0, 1 << 31):
+                bits = (((e + 127) << 23) | man) | sign_bit
+                x = bits.astype(np.uint32).view(np.float32)
+                q = np.asarray(rec(jnp.asarray(x)))
+                ref = np.float32(1.0) / x
+                assert np.array_equal(_bits(q), _bits(ref)), (e, sign_bit)
+
+    def test_recip_tpu_impl_matches_ieee(self):
+        # The dispatcher cstyle.exact_f32_recip routes to on TPU, checked
+        # bit-for-bit ON CPU (the jnp ops are backend-agnostic) over its
+        # contract: hostile tie mantissas and random mantissas at every
+        # normal-in/normal-out exponent, plus zero/inf/NaN edges.
+        from pixel_art_raytracer_tpu.ops.cstyle import _recip_tpu_impl
+
+        rng = np.random.default_rng(5)
+        man = rng.integers(0, 1 << 23, 2048).astype(np.int64)
+        parts = [(((e + 127) << 23)
+                  | np.asarray(self.TIE_MANTISSAS + [0, 1], np.int64))
+                 for e in range(-126, 126)]
+        parts.append(((0 + 127) << 23) | man)
+        parts.append(np.asarray([0, 0xff << 23], np.int64))  # +0, +inf
+        bits = np.concatenate(parts)
+        bits = np.concatenate([bits, bits | (1 << 31)])
+        x = bits.astype(np.uint32).view(np.float32)
+        q = np.asarray(jax.jit(_recip_tpu_impl)(jnp.asarray(x)))
+        with np.errstate(divide="ignore"):
+            ref = np.float32(1.0) / x
+        assert np.array_equal(_bits(q), _bits(ref))
+        qn = np.asarray(jax.jit(_recip_tpu_impl)(
+            jnp.asarray([np.nan], jnp.float32)))
+        assert np.isnan(qn[0])
+
+    def test_recip_tpu_impl_extremes_flush(self):
+        # Outside the contract — subnormal x (DAZ -> treated as signed
+        # zero) and e >= 126 (reciprocal FTZ) — the impl must still be
+        # deterministic and sign-correct: either the IEEE value or the
+        # platform's flushed counterpart (zero treated-as / zero result).
+        from pixel_art_raytracer_tpu.ops.cstyle import _recip_tpu_impl
+
+        bits = np.asarray([1, 0x7fffff,                 # subnormals
+                           (253 << 23) | 5, (254 << 23) | 5], np.int64)
+        bits = np.concatenate([bits, bits | (1 << 31)])
+        x = bits.astype(np.uint32).view(np.float32)
+        q = np.asarray(jax.jit(_recip_tpu_impl)(jnp.asarray(x)))
+        with np.errstate(divide="ignore"):
+            ieee = np.float32(1.0) / x
+        ok = (q.view(np.int32) == ieee.view(np.int32))
+        # flushed alternative: same sign as x, magnitude inf (subnormal in)
+        # or 0 (huge in)
+        alt_mag = np.where(np.abs(x) < np.float32(2.0) ** -126,
+                           np.inf, 0.0).astype(np.float32)
+        alt = np.where(x.view(np.int32) < 0, -alt_mag, alt_mag)
+        ok |= (q.view(np.int32) == alt.view(np.int32))
+        assert ok.all(), (x[~ok], q[~ok])
+
     @pytest.mark.slow
     def test_exhaustive_renderer_class(self):
         rec = jax.jit(rn_recip)
