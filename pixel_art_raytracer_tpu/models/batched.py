@@ -283,7 +283,23 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                     + szidx.reshape(F, -1).sum(axis=1)
                     + bg.reshape(F, -1).sum(axis=1))
 
-        if getattr(r, "shadow_rel_range", False):
+        no_lists = bool(getattr(r, "shadow_no_lists", False))
+        if no_lists:
+            # All-visits mode: skip relevance + list compaction entirely —
+            # the kernel visits every live candidate in index order (the
+            # member test zeroes tile-irrelevant candidates, so this is
+            # exact by the same argument as the pruning itself; valid
+            # candidates are compacted first by build_candidates' stable
+            # argsort).  The (bin, slot) index order keeps word_c
+            # nondecreasing for the kernel's word-change cache.
+            relc = None
+            lists = None
+            n_live = cands.valid.sum(axis=-1, dtype=jnp.int32)   # (F,)
+            blk_counts = jnp.broadcast_to(n_live[:, None],
+                                          (F, (H // R) * G))
+            if upto in ("rel", "lists"):
+                return blk_counts.reshape(F, -1).sum(axis=1)
+        elif getattr(r, "shadow_rel_range", False):
             # Range-hull relevance: the block's needs-gated [sz_lo,
             # sz_hi) start rows (already folded for the kernel's bitmap
             # loop) replace the exact per-pixel presence — a proved
@@ -299,25 +315,28 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                 shadow_pallas.tile_candidate_relevance(
                     w, s, b, c, cfg, tables, R, lane_groups=G, needs=n)
             )(words, szidx, bg, cands, needs)
-        if upto == "rel":
-            return relc.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+        lcap = None
+        if not no_lists:
+            if upto == "rel":
+                return relc.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
 
-        # Capped top-k list compaction (shadow_list_cap): the per-tile
-        # pruned lists stop at ``lcap`` entries instead of carrying the
-        # full M-wide argsort — exactness is guarded below (any tile
-        # whose relevant count exceeds the cap reroutes the batch to the
-        # exact dynamic march, the same pattern as the candidate
-        # overflow guard).  Requires the guard, so vmapped contexts
-        # (shadow_guard='none') keep the full argsort.
-        lcap = getattr(r, "shadow_list_cap", None)
-        if r.shadow_guard != "fallback":
-            lcap = None
-        lists, blk_counts = jax.vmap(
-            lambda rc: shadow_pallas.candidate_lists_from_relc(rc, cap=lcap)
-        )(relc)
-        if upto == "lists":
-            return (blk_counts.reshape(F, -1).sum(axis=1)
-                    + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32))
+            # Capped top-k list compaction (shadow_list_cap): the per-tile
+            # pruned lists stop at ``lcap`` entries instead of carrying the
+            # full M-wide argsort — exactness is guarded below (any tile
+            # whose relevant count exceeds the cap reroutes the batch to
+            # the exact dynamic march, the same pattern as the candidate
+            # overflow guard).  Requires the guard, so vmapped contexts
+            # (shadow_guard='none') keep the full argsort.
+            lcap = getattr(r, "shadow_list_cap", None)
+            if r.shadow_guard != "fallback":
+                lcap = None
+            lists, blk_counts = jax.vmap(
+                lambda rc: shadow_pallas.candidate_lists_from_relc(
+                    rc, cap=lcap)
+            )(relc)
+            if upto == "lists":
+                return (blk_counts.reshape(F, -1).sum(axis=1)
+                        + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32))
         member_expand = bool(getattr(r, "shadow_member_expand", True))
         if member_expand:
             # SMALL membership tables: the kernel runs the lane-expansion
@@ -343,8 +362,9 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             )(words)
             trow_cs = t_row + t_bg
         if upto == "trow":
-            return (blk_counts.reshape(F, -1).sum(axis=1)
-                    + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+            lsum = (0 if no_lists
+                    else lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32))
+            return (blk_counts.reshape(F, -1).sum(axis=1) + lsum
                     + sum(t.reshape(F, -1).sum(axis=1).astype(jnp.int32)
                           for t in trow_cs))
         box_pack = getattr(r, "shadow_box_pack", False)
@@ -363,8 +383,9 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         iv_p = tuple(_padw(a, w_pad) for a in inv)
 
         if upto == "prep":
-            return (blk_counts.reshape(F, -1).sum(axis=1)
-                    + lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
+            lsum = (0 if no_lists
+                    else lists.reshape(F, -1).sum(axis=1, dtype=jnp.int32))
+            return (blk_counts.reshape(F, -1).sum(axis=1) + lsum
                     + sum(t.reshape(F, -1).sum(axis=1).astype(jnp.int32)
                           for t in trow_cs)
                     + cword.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
@@ -379,10 +400,12 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                           cfg.background[:3], cfg.ambient)
 
         def fast_lit():
+            lists_k = (None if no_lists
+                       else lists.reshape(F, H // R, -1, 128))
             if winner_mode:
                 out_pad = shadow_pallas.shadow_call_batched(
                     blk_counts.reshape(F, -1), szr, cword, cmask,
-                    lists.reshape(F, H // R, -1, 128),
+                    lists_k,
                     box, centi, t_row, t_bg, None, None, None, None, None,
                     iv_p[0], iv_p[1], iv_p[2], cfg, tables,
                     rows_per_block=R, lane_groups=G, chunk=shadow_chunk,
@@ -390,18 +413,20 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                     member_small=msmall, shade=shade_spec, pick2=pick2,
                     depth_static=r.depth_static if pick2 else None,
                     ray_bands=r.normal_bands if ray_dot else None,
-                    lights=lights_f if ray_dot else None)
+                    lights=lights_f if ray_dot else None,
+                    no_lists=no_lists)
                 # Shade-in-kernel: the output is packed RGB, not a lit
                 # mask — pass it through.
                 return out_pad if shade_kernel else out_pad > 0
             else:
                 lit_pad = shadow_pallas.shadow_call_batched(
                     blk_counts.reshape(F, -1), szr, cword, cmask,
-                    lists.reshape(F, H // R, -1, 128),
+                    lists_k,
                     box, centi, t_row, t_bg, szidx, bg, ent_p, oy_p, oz_p,
                     iv_p[0], iv_p[1], iv_p[2], cfg, tables,
                     rows_per_block=R, lane_groups=G, chunk=shadow_chunk,
-                    packed_params=box_pack, member_small=msmall)
+                    packed_params=box_pack, member_small=msmall,
+                    no_lists=no_lists)
             return lit_pad > 0
 
         if r.shadow_guard == "fallback":

@@ -220,6 +220,17 @@ class DeferredRenderer:
         # guard (so exactness never depends on the cap).  None keeps the
         # argsort.  256 covers graybox's densest tiles ~2x over.
         self.shadow_list_cap = 256
+        # All-visits shadow kernel (batched pipeline): skip relevance +
+        # list compaction entirely — the kernel visits EVERY live merged
+        # candidate in (bin, slot) index order (blk_counts = the live
+        # count; padded slots route to the always-zero bitmap word).
+        # Exact by the pruning's own argument: a tile-irrelevant
+        # candidate's membership bits are zero for every pixel of the
+        # tile, so its visits cannot set occlusion.  Trades ~20-40% more
+        # kernel visits for deleting the rel fold, the top-k lists, the
+        # lists HBM table, and one scalar load per visit (the list
+        # indirection).  Default set by measurement (see docs/PERF.md).
+        self.shadow_no_lists = False
         # Set once the jitted pipeline has traced with this renderer as a
         # static argument; configure_for() refuses to mutate after that
         # (the compile cache would silently keep the stale parameters).

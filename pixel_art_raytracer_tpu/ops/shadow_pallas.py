@@ -574,7 +574,7 @@ BITMAP_ONDEMAND = True
 FRAMES_PER_BLOCK = 1
 
 
-def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
+def _shadow_kernel(meta_ref, ptab_ref, *rest,
                    w_pad: int, rows: int, n_words: int, n_sz: int,
                    meta_off: int, mq: int,
                    lane_groups: int = 1, chunk: int = 8,
@@ -585,7 +585,7 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
                    zmul: int = 0, zshift: int = 0,
                    member_expand: bool = False, shade=None,
                    pick2: bool = False, depth_static=None,
-                   sprite_hw=None, ray_bands=None):
+                   sprite_hw=None, ray_bands=None, no_lists: bool = False):
     """Row-block body on a (frame_blocks, row_blocks) grid — every block
     carries a leading frame dim of ``frames``, so one launch shades a whole
     animation batch and each grid step shades ``frames`` frames' tiles.
@@ -615,6 +615,13 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
     either way — the refresh reproduces exactly the select chain the
     prebuild runs for that word.
     """
+    if no_lists:
+        # All-visits mode: the visit index IS the candidate index (the
+        # member test zeroes tile-irrelevant candidates, so skipping the
+        # relevance/list machinery is exact) — no lists operand at all.
+        lists_ref = None
+    else:
+        lists_ref, *rest = rest
     if member_expand:
         mtab_ref, msel_ref = rest[:2]
         rest = rest[2:]
@@ -641,16 +648,18 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
     R = rows
     G = lane_groups
     gw = w_pad // G
-    if packed_params:
+    if packed_params and not no_lists:
         # This tile's row within the 8-tile lists band (see the driver's
         # lists BlockSpec).
         list_row = (block * G + g) % lists_ref.shape[1]
+    else:
+        list_row = None
 
     lane = (jax.lax.broadcasted_iota(jnp.int32, (R, gw), 1) + g * gw)
     ox = lane.astype(jnp.float32)
     for fb in range(frames):
         _shadow_frame_body(
-            fb, block, g, list_row if packed_params else None, ox, lane,
+            fb, block, g, list_row, ox, lane,
             meta_ref, ptab_ref, lists_ref, trow_refs, tbg_refs,
             mtab_ref, msel_ref, pix_refs, out_ref,
             scratch, w_pad=w_pad, rows=R, n_words=n_words, n_sz=n_sz,
@@ -661,7 +670,7 @@ def _shadow_kernel(meta_ref, ptab_ref, lists_ref, *rest,
             view_height=view_height, zmul=zmul, zshift=zshift,
             trow_halves=trow_halves, member_expand=member_expand,
             shade=shade, pick2=pick2, depth_static=depth_static,
-            sprite_hw=sprite_hw, ray_bands=ray_bands)
+            sprite_hw=sprite_hw, ray_bands=ray_bands, no_lists=no_lists)
 
 
 def _shadow_frame_body(fb, block, g, list_row, ox, lane,
@@ -675,7 +684,8 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
                        view_height: int, zmul: int, zshift: int,
                        trow_halves: bool, member_expand: bool = False,
                        shade=None, pick2: bool = False, depth_static=None,
-                       sprite_hw=None, ray_bands=None):
+                       sprite_hw=None, ray_bands=None,
+                       no_lists: bool = False):
     """One frame's tile of the shadow kernel body (``fb`` indexes the
     frame within the grid step's frame block)."""
     if _ablate is not None and _ablate.startswith("empty"):
@@ -859,7 +869,8 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
             m = c0 + cc
             if _ablate == "nobody":
                 # Loop skeleton only: list load + one vector op per visit.
-                c = lists_ref[fb, 0, 0, m // 128, m % 128]
+                c = m if no_lists else lists_ref[fb, 0, 0, m // 128,
+                                                 m % 128]
                 occ = occ | (ent == c).astype(jnp.int32)
                 continue
             if _ablate == "noloads":
@@ -881,7 +892,7 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
                 # layout).  The lists block holds an 8-tile band; this
                 # tile's row is (block*G + g) % band.  ptab rows:
                 # 0=wordent, 1=mask, 2=boxa, 3=boxb.
-                c = lists_ref[fb, list_row, m]
+                c = m if no_lists else lists_ref[fb, list_row, m]
                 we = ptab_ref[fb, 0, c]
                 word_c = we >> 18
                 ent_c = we & jnp.int32(0x3ffff)
@@ -897,7 +908,8 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
             else:
                 # ptab row bands: cword [0, mq), cmask [mq, 2mq),
                 # centi [2mq, 3mq), box corners [3mq, 3mq + M/16).
-                c = lists_ref[fb, 0, 0, m // 128, m % 128]
+                c = m if no_lists else lists_ref[fb, 0, 0, m // 128,
+                                                 m % 128]
                 word_c = ptab_ref[fb, c // 128, c % 128]
                 mask_c = ptab_ref[fb, mq + c // 128, c % 128]
                 # Scalar loads from the SMEM tables: scalars broadcast
@@ -1116,7 +1128,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                         winners=None, member_small=None,
                         shade=None, pick2: bool = False,
                         depth_static=None, ray_bands=None,
-                        lights=None) -> jax.Array:
+                        lights=None, no_lists: bool = False) -> jax.Array:
     """Launch the shadow kernel on a (frame_blocks, row_blocks) grid.
 
     ``member_small``: (F, n_sy, 2*(SZ+1)*nw, KXP) int32 small membership
@@ -1261,7 +1273,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
                                pick2=pick2, depth_static=depth_static,
                                sprite_hw=(cfg.sprite_height,
                                           cfg.sprite_width),
-                               ray_bands=ray_bands)
+                               ray_bands=ray_bands, no_lists=no_lists)
 
     # Window layout: the glue-split ablations (docs/PERF.md rule 14) showed
     # the stage floor is XLA glue (pad/stack copies feeding the kernel),
@@ -1309,9 +1321,27 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
 
     # Capped top-k lists (candidate_lists_from_relc(cap=...)) arrive
     # narrower than M; the list table depth rides its own shape.
-    L = lists.size // (F * NB * G)
+    L = M if no_lists else lists.size // (F * NB * G)
     assert L % chunk == 0, "chunk must divide the list capacity"
-    if packed_params:
+    if no_lists:
+        # All-visits mode: no list table at all — the kernel visits every
+        # candidate slot in index order (callers pass blk_counts = the
+        # live candidate count).
+        if packed_params:
+            ptab = jnp.stack([cword[:, 0], cmask[:, 0], box[:, 0],
+                              centi[:, 0]], axis=1)
+            param_specs = [
+                pl.BlockSpec((FB, 4, M), lambda f, i, g: (f, 0, 0),
+                             memory_space=pltpu.SMEM)]
+        else:
+            ptab = jnp.concatenate([cword, cmask, centi,
+                                    box.astype(jnp.int32)], axis=1)
+            param_specs = [
+                pl.BlockSpec((FB, 3 * Mq + M // 16, 128),
+                             lambda f, i, g: (f, 0, 0),
+                             memory_space=pltpu.SMEM)]
+        param_ops = (ptab,)
+    elif packed_params:
         # The lists block rides an 8-row band of the (F, NB*G, L) table:
         # a (1, 1, L) block would violate the TPU lowering rule (the
         # second-minor block dim must be 8-divisible or equal the array
@@ -1386,7 +1416,7 @@ def shadow_call_batched(blk_counts, blk_szrange, cword, cmask, lists, box,
             (FB, 8, param_ops[0].shape[-1]), lambda f, i, g: (f, 0, 0),
             memory_space=pltpu.SMEM)
     if emptyv and _ablate in ("emptynolists", "emptynosmem") \
-            and not packed_params:
+            and not packed_params and not no_lists:
         param_ops = (param_ops[0], param_ops[1][:, :, :, :1, :])
         param_specs[1] = pl.BlockSpec(
             (FB, 1, 1, 1, 128), lambda f, i, g: (f, i, g, 0, 0),
