@@ -305,6 +305,23 @@ class TestBatchedParity:
         np.testing.assert_array_equal(f_pack, f_flat)
 
     @pytest.mark.slow
+    def test_no_lists_matches_default(self):
+        # All-visits mode (shadow_no_lists): the kernel visits every live
+        # merged candidate in (bin, slot) index order instead of the
+        # pruned per-tile lists.  Exact by the pruning's own argument
+        # (a tile-irrelevant candidate's membership bits are zero for
+        # every pixel of the tile), so pixels must be identical.
+        scene = demo_world(10)
+        ds = DeviceScene.from_scene(scene)
+        a_nl = make_anim(scene, batched=True)
+        a_def = make_anim(scene, batched=True)
+        a_nl.renderer.shadow_no_lists = True
+        players, lights = sweep(a_nl, scene, 2)
+        f_nl = np.asarray(a_nl.render_states(ds, players, lights))
+        f_def = np.asarray(a_def.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_nl, f_def)
+
+    @pytest.mark.slow
     def test_slot_cap_reroute_matches(self):
         # A deliberately too-small slot cap must reroute (runtime
         # max(counts) guard) to the full-capacity kernel and still match;

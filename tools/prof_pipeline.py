@@ -99,6 +99,9 @@ def main() -> None:
                     help="A/B in-kernel ray-dot shading (shadow kernel "
                          "derives tl/dot itself and emits packed RGB) "
                          "vs the lit-mask + XLA shade path")
+    ap.add_argument("--nolists-sweep", action="store_true",
+                    help="A/B all-visits kernel (no relevance/lists, "
+                         "r.shadow_no_lists) vs pruned per-tile lists")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="also time N back-to-back dispatches materialised "
                          "together (does the dispatch floor overlap "
@@ -203,6 +206,8 @@ def main() -> None:
                else [getattr(r, "shadow_rel_range", False)])
         igs = ([True, False] if args.intgeom_sweep
                else [getattr(r, "shadow_int_geom", False)])
+        nls = ([True, False] if args.nolists_sweep
+               else [getattr(r, "shadow_no_lists", False)])
         # Compile every config first, then time them in interleaved
         # rounds: the axon tunnel's ambient load drifts on the minutes
         # scale (same-config repeats differ by up to 0.07 ms/frame), so
@@ -218,17 +223,17 @@ def main() -> None:
                             import itertools
 
                             for (bo, ik, fpb, tfpb, scap, wm, kx, mx, sh,
-                                 p2, lc, wd, gr, rd, rr, ig) in \
+                                 p2, lc, wd, gr, rd, rr, ig, nl) in \
                                     itertools.product(bitmaps, ikeys,
                                                       fpbs, tfpbs, scaps,
                                                       winner_modes, kexps,
                                                       mxs, shades, pick2s,
                                                       lcaps, wdots, grecs,
-                                                      rds, rrs, igs):
+                                                      rds, rrs, igs, nls):
                                 key = (rows, groups, trows, ch, bp,
                                        bo, ik, fpb, tfpb, scap, wm, kx,
                                        mx, sh, p2, lc, wd, gr, rd, rr,
-                                       ig)
+                                       ig, nl)
                                 if any(e[0] == key for e in entries):
                                     continue
                                 r.shadow_box_pack = bp
@@ -243,6 +248,7 @@ def main() -> None:
                                 r.shadow_ray_dot = rd
                                 r.shadow_rel_range = rr
                                 r.shadow_int_geom = ig
+                                r.shadow_no_lists = nl
                                 shadow_pallas.BITMAP_ONDEMAND = bo
                                 trace_pallas.INCREMENTAL_KEYS = ik
                                 shadow_pallas.FRAMES_PER_BLOCK = fpb
@@ -267,7 +273,7 @@ def main() -> None:
         rays = 2 * cfg.view_width * cfg.view_height * F
         for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb, scap,
              wm, kx, mx, sh, p2, lc, wd, gr, rd, rr,
-             ig), _, ts in entries:
+             ig, nl), _, ts in entries:
             med = float(np.median(ts))
             lo = float(np.min(ts))
             print(f"R={rows} G={groups} TR={trows} C={ch} pack={int(bp)} "
@@ -275,7 +281,7 @@ def main() -> None:
                   f"cap={scap} wm={int(wm)} kx={int(kx)} mx={int(mx)} "
                   f"sh={int(sh)} p2={int(p2)} lc={lc} wd={int(wd)} "
                   f"gr={int(gr)} rd={int(rd)} rr={int(rr)} "
-                  f"ig={int(ig)} FULL "
+                  f"ig={int(ig)} nl={int(nl)} FULL "
                   f"med {med*1e3:8.2f} ms ({med*1e3/F:6.3f} ms/f, "
                   f"{rays/med/1e6:6.1f} Mr/s)  best {lo*1e3:8.2f} "
                   f"({lo*1e3/F:6.3f})")
@@ -284,7 +290,7 @@ def main() -> None:
 
             for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb,
                  scap, wm, kx, mx, sh, p2, lc, wd, gr, rd,
-                 rr, ig), fn, _ in entries:
+                 rr, ig, nl), fn, _ in entries:
                 def burst(p, l, n=args.pipeline):
                     outs = [fn(p, l) for _ in range(n)]
                     return [np.asarray(o) for o in outs]
