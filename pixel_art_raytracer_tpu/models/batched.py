@@ -151,12 +151,31 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                          and r.style == "reference"
                          and r.color_rects is not None
                          and upto is None)
+    # Fused trace+shadow kernel (ops/fused_pallas): ONE launch runs both
+    # phases per (frame, row-block) grid step — the shadow phase reads
+    # the trace phase's pick output refs in VMEM, derives iv in-kernel
+    # (divkernel), discovers candidates all-visits style (no_lists), and
+    # folds its own sz hull.  Requires the winner/packed machinery, a
+    # point light per frame, the guard (divkernel domain reroute), no
+    # trace compaction, and matching R == TR block shapes.
+    fused = bool(winner_mode
+                 and getattr(r, "fuse_trace_shadow", False)
+                 and lights.ndim == 2
+                 and r.shadow_guard == "fallback"
+                 and upto is None
+                 and ncc is None
+                 and (trace_slot_cap is None
+                      or trace_slot_cap >= cfg.bin_capacity)
+                 and trace_rows == R
+                 and cfg.bin_size % R == 0 and H % R == 0 and R % 8 == 0
+                 and getattr(r, "shadow_member_expand", True)
+                 and not getattr(r, "shadow_shade_kernel", False))
     # In-kernel ray-dot (shade + pick2 + two-band normals): the kernel
     # derives the Lambert dot itself via correctly-rounded divisions
     # (ops/divkernel), so shade-in-kernel costs NO extra pixel window —
     # the dot buffer the plain shade-kernel mode had to materialise for
     # its window (the measured reason it lost) never exists.
-    ray_dot = bool(shade_capable and pick2
+    ray_dot = bool(shade_capable and pick2 and not fused
                    and r.normal_bands is not None
                    and r.shadow_guard == "fallback"
                    and getattr(r, "shadow_ray_dot", True))
@@ -169,17 +188,36 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     shade_kernel = bool(shade_capable
                         and (ray_dot
                              or getattr(r, "shadow_shade_kernel", False)))
-    gbuf = trace_pallas.trace_pixels_pallas_batched(
-        dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
-        dscene.atlas_normal, dscene.palette, bins_ent, counts, dyn_pos,
-        cfg, params, r.normal_bands, r.color_rects, r.depth_segments,
-        n_compact=ncc, rows_per_block=trace_rows,
-        packed_picks=r.trace_packed,
-        slot_cap=None if ncc is not None else trace_slot_cap,
-        field_pack=r.trace_field_pack, wide=True,
-        return_winners=winner_mode, kernel_expand=kexp,
-        pick2=pick2, depth_static=r.depth_static if pick2 else None)
-    if winner_mode:
+    if fused:
+        # Fused mode defers primary visibility to the fused kernel launch
+        # inside light_pass_fused; stage 2 only builds the trace
+        # expansion tables (the same prep trace_pixels_pallas_batched
+        # runs before its kernel).
+        d0f, slopef, segs_f = trace_pallas._resolve_depth_params(
+            dscene.atlas_color, params, r.depth_segments)
+        ef_f = trace_pallas.entity_field_table(
+            dscene.pos, dscene.ext, dscene.sprite_id, d0f, slopef,
+            field_pack=r.trace_field_pack)
+        tab_f = jax.vmap(
+            lambda be, cnt, dp: trace_pallas._expand_tables(
+                dscene.pos, dscene.ext, dscene.sprite_id, d0f, slopef,
+                be, cnt, cfg, w_pad, dyn_pos=dp,
+                field_pack=r.trace_field_pack, ent_fields=ef_f,
+                expand=not kexp)
+        )(bins_ent, counts, dyn_pos)
+        gbuf = None
+    else:
+        gbuf = trace_pallas.trace_pixels_pallas_batched(
+            dscene.pos, dscene.ext, dscene.sprite_id, dscene.atlas_color,
+            dscene.atlas_normal, dscene.palette, bins_ent, counts, dyn_pos,
+            cfg, params, r.normal_bands, r.color_rects, r.depth_segments,
+            n_compact=ncc, rows_per_block=trace_rows,
+            packed_picks=r.trace_packed,
+            slot_cap=None if ncc is not None else trace_slot_cap,
+            field_pack=r.trace_field_pack, wide=True,
+            return_winners=winner_mode, kernel_expand=kexp,
+            pick2=pick2, depth_static=r.depth_static if pick2 else None)
+    if winner_mode and not fused:
         gbuf, wpicks = gbuf
         win_a, win_b = wpicks[0], wpicks[1]
         win_c = None if pick2 else wpicks[2]
@@ -200,18 +238,20 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
     # Light-independent pixel inputs (origin/ray-bin come out of the
     # geometry call but don't depend on the light; XLA CSEs the repeats —
     # directional mode feeds a dummy light, using only origin/rb).
-    geom_light = (jnp.zeros((F, 3), jnp.int32) if directional
-                  else lights_l[:, 0])
-    _, _, origin, rb, _ = jax.vmap(
-        lambda g, l: shade_ops.light_geometry(g, l, cfg, int_geom)
-    )(gbuf, geom_light)
-    szidx = _padw(jnp.clip(rb[2] - tables.sz_lo, 0, SZ - 1), w_pad)
-    # Background pixels (zero G-buffer y/z, quirk Q6) use the aliased
-    # background start row; wy+wz == world_j >= 1 for hits.
-    bg = _padw(((gbuf.y + gbuf.z) == 0).astype(jnp.int32), w_pad)
-    if not winner_mode:
-        ent_p = _padw(gbuf.entity_index, w_pad)
-        oy_p, oz_p = _padw(origin[1], w_pad), _padw(origin[2], w_pad)
+    # Fused mode derives all of them in-kernel from the trace picks.
+    if not fused:
+        geom_light = (jnp.zeros((F, 3), jnp.int32) if directional
+                      else lights_l[:, 0])
+        _, _, origin, rb, _ = jax.vmap(
+            lambda g, l: shade_ops.light_geometry(g, l, cfg, int_geom)
+        )(gbuf, geom_light)
+        szidx = _padw(jnp.clip(rb[2] - tables.sz_lo, 0, SZ - 1), w_pad)
+        # Background pixels (zero G-buffer y/z, quirk Q6) use the aliased
+        # background start row; wy+wz == world_j >= 1 for hits.
+        bg = _padw(((gbuf.y + gbuf.z) == 0).astype(jnp.int32), w_pad)
+        if not winner_mode:
+            ent_p = _padw(gbuf.entity_index, w_pad)
+            oy_p, oz_p = _padw(origin[1], w_pad), _padw(origin[2], w_pad)
     G = shadow_pallas.effective_lane_groups(
         w_pad, lane_groups if w_pad % (lane_groups * 128) == 0 else 1)
 
@@ -467,13 +507,20 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                 # INSIDE the branch: a captured pixel buffer rides the
                 # conditional's operand tuple even when the fast path
                 # runs — the round-4 HLO census put the guard tuple (and
-                # the copy-dones feeding it) among the program's largest
-                # HBM writers (~10 MB/frame).  In winner mode the decoded
-                # G-buffer and ray geometry re-derive from the trace
-                # picks (win_a/win_b are materialised kernel outputs
-                # already, so capturing them is free); recomputation cost
-                # lands only on frames that actually violate the static
-                # bounds.
+                # the copy-dones feeding it) among the largest HBM
+                # writers (~10 MB/frame).  In winner mode the decoded
+                # G-buffer re-derives from the trace picks (win_a/win_b
+                # are materialised kernel outputs already, so capturing
+                # them is free); recomputation cost lands only on frames
+                # that actually violate the static bounds.
+                #
+                # The geometry ALWAYS recomputes with the exact (f64-
+                # emulated) division chain: the fast path's tl/inv/dot
+                # may come from the divkernel primitives, which are only
+                # correct within the guarded L1 domain — a rerouted
+                # far-light frame must not shade with (or march on) the
+                # out-of-domain values (rn_div_int measured wrong from
+                # L ~ 2^19 up; the 2^13 guard is conservative).
                 if winner_mode and getattr(r, "shadow_guard_recompute",
                                            True):
                     from ..ops.trace_pallas import gbuffer_from_winners
@@ -488,23 +535,19 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                             depth_static=r.depth_static if pick2
                             else None)
                     )(wl)
-                    tl_s, inv_s, orig_s, rb_s, lb_s = jax.vmap(
-                        lambda g, l: shade_ops.light_geometry(g, l, cfg)
-                    )(gb, lights_f)
-                    ents = gb.entity_index
-                    # In-branch shade inputs (shade_kernel reroute): the
-                    # recomputed normal/color replace the fast path's dot
-                    # and color captures (winner_dot is float-identical
-                    # to the normal-buffer dot — see its docstring).
-                    dot_b = (gb.normal[..., 0] * tl_s[0]
-                             + gb.normal[..., 1] * tl_s[1]
-                             + gb.normal[..., 2] * tl_s[2])
-                    color_b = gb.color
                 else:
-                    gb, inv_s, orig_s, rb_s, lb_s = (gbuf, inv, origin,
-                                                     rb_g, lb)
-                    ents = gbuf.entity_index
-                    dot_b, color_b = dot, gbuf.color
+                    gb = gbuf
+                ents = gb.entity_index
+                tl_s, inv_s, orig_s, rb_s, lb_s = jax.vmap(
+                    lambda g, l: shade_ops.light_geometry(g, l, cfg)
+                )(gb, lights_f)
+                # In-branch shade inputs: the recomputed normal dot
+                # replaces the fast path's (winner_dot is float-identical
+                # to the normal-buffer dot — see its docstring).
+                dot_b = (gb.normal[..., 0] * tl_s[0]
+                         + gb.normal[..., 1] * tl_s[1]
+                         + gb.normal[..., 2] * tl_s[2])
+                color_b = gb.color
 
                 def one(args):
                     p, g, rbf, lbf, of, invf = args
@@ -520,20 +563,27 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                     return trace_light_dynamic(pos_f, dscene.ext, be, cnt,
                                                rbf, lbf, g, of, invf, cfg)
 
-                lit = jax.lax.map(
+                lit_s = jax.lax.map(
                     one, (players, ents, rb_s, lb_s, orig_s, inv_s))
                 if not shade_kernel:
-                    return lit
+                    return dot_b, lit_s
                 # Shade-in-kernel fast branch emits packed RGB: the exact
                 # reroute packs the identical shade math (same dot, same
                 # color chains, same truncation) so both cond branches
                 # return the same structure and pixels.
-                factor = shade_ops.factor_from_dot(dot_b, lit, cfg)
+                factor = shade_ops.factor_from_dot(dot_b, lit_s, cfg)
                 ci = (color_b[..., :3].astype(f32)
                       * factor[..., None]).astype(jnp.int32)
                 return ci[..., 0] | (ci[..., 1] << 8) | (ci[..., 2] << 16)
 
-            lit = jax.lax.cond(ok, fast_lit, slow_lit)
+            if shade_kernel:
+                lit = jax.lax.cond(ok, fast_lit, slow_lit)
+            else:
+                # The rerouted branch supplies its own exact dot (the
+                # fast dot may be divkernel-computed, valid only within
+                # the guarded domain).
+                dot, lit = jax.lax.cond(
+                    ok, lambda: (dot, fast_lit()), slow_lit)
         else:
             lit = fast_lit()
 
@@ -542,6 +592,139 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         if upto == "shadow":
             return lit.reshape(F, -1).sum(axis=1, dtype=jnp.int32)
         return dot, lit
+
+    def light_pass_fused(lights_f):
+        """Stages 2-4 in ONE kernel launch (ops/fused_pallas) for one
+        (F, 3) point-light set -> (dot, lit, gbuf).
+
+        The prep here is strictly light- or scene-derived (candidate
+        build, small membership tables, param tables): everything
+        trace-dependent — per-pixel geometry, the sz hull, candidate
+        relevance — moves inside the kernel, so there is NO XLA pass
+        between the trace and shadow phases at all.  The G-buffer
+        decodes from the fused kernel's pick outputs afterwards for the
+        shade epilogue (exactly what the unfused stage 2 does)."""
+        bs = cfg.bin_size
+        # Light bin coordinates without a G-buffer (the lb entries of
+        # shade_ops.light_geometry depend only on the light scalars).
+        lb_f = (cstyle.c_div(lights_f[:, 0], bs),
+                cstyle.c_div(jnp.int32(cfg.view_height)
+                             - lights_f[:, 1] - lights_f[:, 2], bs),
+                cstyle.c_div(lights_f[:, 2], bs))
+        words = jax.vmap(
+            lambda lbf: shadow_fast.dda_membership_words(lbf, cfg, tables)
+        )(lb_f)
+        n_words = words.shape[-1]
+        any_words = jax.lax.reduce(words, jnp.uint32(0),
+                                   jax.lax.bitwise_or, (1,))
+        tested_any = jax.vmap(
+            lambda w: shadow_fast.unpack_member_words(w[None], cfg)[0]
+        )(any_words)
+        cands = jax.vmap(
+            lambda be, cnt, ta, dp: shadow_fast.build_candidates(
+                dscene.pos, dscene.ext, be, cnt, None, cfg, tables,
+                tested_any=ta, dyn_pos=dp)
+        )(bins_ent, counts, tested_any, dyn_pos)
+        n_live = cands.valid.sum(axis=-1, dtype=jnp.int32)
+        blk_counts = jnp.broadcast_to(n_live[:, None], (F, H // R))
+        msmall = jax.vmap(
+            lambda w: shadow_pallas.member_row_tables_small(w, cfg, tables)
+        )(words)
+        box_pack = getattr(r, "shadow_box_pack", False)
+        if box_pack:
+            cword, cmask, box, centi = jax.vmap(
+                lambda c: shadow_pallas.candidate_param_tables_packed(
+                    c, n_words)
+            )(cands)
+            cword, cmask, box, centi = (a[:, None, :] for a in
+                                        (cword, cmask, box, centi))
+        else:
+            cword, cmask, box, centi = jax.vmap(
+                lambda c: shadow_pallas.candidate_param_tables(c, n_words)
+            )(cands)
+
+        from ..ops import fused_pallas
+
+        wpicks, lit_f = fused_pallas.fused_call_batched(
+            tab_f, segs_f, blk_counts, lights_f, cword, cmask, box,
+            centi, msmall, cfg, tables, rows_per_block=R,
+            chunk=shadow_chunk, packed_params=box_pack, pick2=pick2,
+            depth_static=r.depth_static if pick2 else None,
+            kernel_expand=kexp)
+
+        gb = jax.vmap(
+            lambda w: trace_pallas.gbuffer_from_winners(
+                w, dscene.atlas_color, dscene.atlas_normal,
+                dscene.palette, cfg, r.normal_bands, r.color_rects,
+                width=w_pad,
+                depth_static=r.depth_static if pick2 else None)
+        )(wpicks)
+        tl, _, _, rb_g, lb_g = jax.vmap(
+            lambda g, l: shade_ops.light_geometry(g, l, cfg, int_geom)
+        )(gb, lights_f)
+        if (r.normal_bands is not None
+                and getattr(r, "shadow_winner_dot", True)):
+            dot = jax.vmap(
+                lambda w, t0, t1, t2: trace_pallas.winner_dot(
+                    w, (t0, t1, t2), r.normal_bands, cfg)
+            )(wpicks, tl[0], tl[1], tl[2])
+        else:
+            dot = (gb.normal[..., 0] * tl[0]
+                   + gb.normal[..., 1] * tl[1]
+                   + gb.normal[..., 2] * tl[2])
+
+        # Static-bound validation, as in light_pass: the fused kernel's
+        # in-kernel geometry (divkernel) and membership machinery share
+        # the unfused fast path's envelopes; violating batches reroute
+        # to the exact dynamic march with exact-chain geometry.  The
+        # fused kernel's outputs are safe-but-possibly-wrong outside the
+        # envelopes; the cond discards them.
+        from ..ops.shadow import trace_light_dynamic
+
+        steps = jax.vmap(shade_ops.max_needed_steps)(
+            jax.tree.map(lambda x: x[..., :W], rb_g),
+            jax.tree.map(lambda x: x[..., :W], lb_g))
+        sz_in = ((rb_g[2][..., :W] >= tables.sz_lo)
+                 & (rb_g[2][..., :W] < tables.sz_hi))
+        sz_ok = jnp.all(sz_in | ~(dot[..., :W] > 0))
+        wxi = jnp.arange(w_pad, dtype=jnp.int32)[None, None, :]
+        maxlen = jnp.max(
+            jnp.abs(lights_f[:, 0][:, None, None] - wxi)
+            + jnp.abs(lights_f[:, 1][:, None, None] - gb.y)
+            + jnp.abs(lights_f[:, 2][:, None, None] - gb.z))
+        ok = (~jnp.any(cands.overflow) & sz_ok
+              & (jnp.max(steps) <= tables.max_steps) & (maxlen < 8192))
+
+        def slow_path():
+            # Exact-chain geometry recomputed in-branch (the picks are
+            # materialised kernel outputs; capturing them is free).
+            tl_s, inv_s, orig_s, rb_s, lb_s = jax.vmap(
+                lambda g, l: shade_ops.light_geometry(g, l, cfg)
+            )(gb, lights_f)
+            dot_b = (gb.normal[..., 0] * tl_s[0]
+                     + gb.normal[..., 1] * tl_s[1]
+                     + gb.normal[..., 2] * tl_s[2])
+
+            def one(args):
+                p, g, rbf, lbf, of, invf = args
+                pos_f = dscene.pos.at[0].set(p)
+                if static_bins is not None:
+                    be, cnt = static_bins.merge(pos_f[:1], dscene.ext[:1])
+                else:
+                    from ..ops import binning
+
+                    be, cnt = binning.build_bins(pos_f, dscene.ext, cfg,
+                                                 r.spans)
+                return trace_light_dynamic(pos_f, dscene.ext, be, cnt,
+                                           rbf, lbf, g, of, invf, cfg)
+
+            lit_s = jax.lax.map(
+                one, (players, gb.entity_index, rb_s, lb_s, orig_s,
+                      inv_s))
+            return dot_b, lit_s
+
+        dot, lit = jax.lax.cond(ok, lambda: (dot, lit_f > 0), slow_path)
+        return dot, lit, gb
 
     def light_pass_dir(dirs_f):
         """Stages 3-4 for one (F, 3) float32 direction set -> (dot, lit).
@@ -707,6 +890,9 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         rgb = jnp.stack([packed & 255, (packed >> 8) & 255,
                          (packed >> 16) & 255], axis=-1)
         return rgb[:, :, :W].astype(jnp.uint8)
+    elif fused:
+        dot, lit, gbuf = light_pass_fused(lights_l[:, 0])
+        factor = shade_ops.factor_from_dot(dot, lit, cfg)
     else:
         dot, lit = light_pass(lights_l[:, 0])
         factor = shade_ops.factor_from_dot(dot, lit, cfg)

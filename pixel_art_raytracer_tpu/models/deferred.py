@@ -220,6 +220,20 @@ class DeferredRenderer:
         # guard (so exactness never depends on the cap).  None keeps the
         # argsort.  256 covers graybox's densest tiles ~2x over.
         self.shadow_list_cap = 256
+        # Fused trace+shadow kernel (batched pipeline, ops/fused_pallas):
+        # ONE Pallas launch runs primary visibility AND shadow occlusion
+        # per (frame, row-block) grid step — the shadow phase reads the
+        # trace phase's pick output refs in VMEM (no HBM hop), derives
+        # the inverse ray components in-kernel (divkernel; guarded L1
+        # domain, hostile frames reroute), discovers candidates
+        # all-visits style, and folds its own per-block sz hull.  One
+        # grid's worth of per-step window fixed cost and every
+        # trace->shadow XLA glue pass disappear.  Requires trace_packed
+        # + winner inputs + member_expand + the fallback guard; the
+        # batched driver falls back to the two-kernel pipeline when the
+        # requirements don't hold.  Default OFF until measured on
+        # hardware (flip after an interleaved A/B).
+        self.fuse_trace_shadow = False
         # All-visits shadow kernel (batched pipeline): skip relevance +
         # list compaction entirely — the kernel visits EVERY live merged
         # candidate in (bin, slot) index order (blk_counts = the live

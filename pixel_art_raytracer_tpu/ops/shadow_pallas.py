@@ -685,9 +685,20 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
                        trow_halves: bool, member_expand: bool = False,
                        shade=None, pick2: bool = False, depth_static=None,
                        sprite_hw=None, ray_bands=None,
-                       no_lists: bool = False):
+                       no_lists: bool = False, kernel_geom: bool = False,
+                       sz_source: str = "meta"):
     """One frame's tile of the shadow kernel body (``fb`` indexes the
-    frame within the grid step's frame block)."""
+    frame within the grid step's frame block).
+
+    ``kernel_geom`` (fused trace+shadow mode, ops/fused_pallas): the two
+    packed picks arrive as the trace phase's OUTPUT refs and the inverse
+    ray components derive in-kernel via the divkernel primitives — no
+    per-pixel input windows at all.  ``sz_source`` selects where the
+    block's [sz_lo, sz_hi) membership fold bounds come from: "meta"
+    (the XLA block_sz_ranges hull, the unfused default), "reduce" (two
+    whole-tile reduces over the winner-decoded szidx — the fused kernel
+    cannot receive an XLA hull because it depends on the trace output),
+    or "full" (the whole table range; always exact, more fold rows)."""
     if _ablate is not None and _ablate.startswith("empty"):
         # Pure floor bound: same grid + operand windows, no kernel work.
         # "emptyno<win>" variants additionally shrink one window in the
@@ -717,7 +728,13 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
         #   szidx  = clip(trunc_div(z, bin_size) - sz_lo, 0, SZ-1)
         # The int->f32 converts and truncating division replicate
         # cstyle exactly (z is int32; trunc = floor adjusted on z < 0).
-        if ray_bands is not None:
+        if kernel_geom:
+            # Fused mode: the picks are the trace phase's output refs
+            # (VMEM) and iv derives in-kernel — no iv windows.
+            wa_ref, wb_ref = pix_refs
+            wc_ref = dot_ref = None
+            ivx_ref = ivy_ref = ivz_ref = None
+        elif ray_bands is not None:
             # In-kernel ray-dot: no dot window (derived below from the
             # picks + this frame's light scalars in meta).
             wa_ref, wb_ref, ivx_ref, ivy_ref, ivz_ref = pix_refs
@@ -773,7 +790,28 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
         szidx = szidx_ref[fb]
         bg = bg_ref[fb] > 0
         ent = ent_ref[fb]
-    if _ablate == "noiv":
+    if kernel_geom:
+        # In-kernel inverse ray components: exactly the
+        # ops/shade.light_geometry(int_exact=True) chain —
+        # rn_recip(rn_div_int) on the integer light deltas
+        # (value-identical within the guarded L1 domain; callers reroute
+        # violating frames, models/batched.py).  y/z/lane are the
+        # winner-decoded values above, so the operands match the XLA
+        # chain's bit for bit.  Reference: alternative.cpp:707-722.
+        from .divkernel import rn_div_int, rn_recip
+
+        ml = meta_ref.shape[2]
+        lt0 = meta_ref[fb, 0, ml - 3]
+        lt1 = meta_ref[fb, 0, ml - 2]
+        lt2 = meta_ref[fb, 0, ml - 1]
+        dxi = lt0 - lane
+        dyi = lt1 - y
+        dzi = lt2 - z
+        ln = jnp.abs(dxi) + jnp.abs(dyi) + jnp.abs(dzi)
+        ivx = rn_recip(rn_div_int(dxi, ln))
+        ivy = rn_recip(rn_div_int(dyi, ln))
+        ivz = rn_recip(rn_div_int(dzi, ln))
+    elif _ablate == "noiv":
         # Timing-only dummy iv (see the driver's window shrink).
         ivx = jnp.broadcast_to(ivx_ref[fb, :1], (R, gw))
         ivy = jnp.broadcast_to(ivy_ref[fb, :1], (R, gw))
@@ -783,9 +821,25 @@ def _shadow_frame_body(fb, block, g, list_row, ox, lane,
         ivy = ivy_ref[fb]
         ivz = ivz_ref[fb]
 
-    sz_lo = meta_ref[fb, 0, meta_off + 2 * block]
-    sz_hi = meta_ref[fb, 0, meta_off + 2 * block + 1]
     notbg = ~bg
+    if sz_source == "meta":
+        sz_lo = meta_ref[fb, 0, meta_off + 2 * block]
+        sz_hi = meta_ref[fb, 0, meta_off + 2 * block + 1]
+    elif sz_source == "reduce":
+        # Fused mode: the block's [sz_lo, sz_hi) fold bounds derive from
+        # the winner-decoded szidx itself (two whole-tile reduces per
+        # grid step) — the XLA hull needs the trace output, which never
+        # leaves VMEM here.  The un-needs-gated hull is a superset of
+        # the exact fold's range and covers EVERY notbg pixel's row, so
+        # the word refresh selects the true member row for every pixel
+        # (needs-excluded pixels may flip lit vs the gated hull, but
+        # they shade to ambient either way — same final RGB).
+        sz_lo = jnp.min(jnp.where(notbg, szidx, n_sz - 1))
+        sz_hi = jnp.max(jnp.where(notbg, szidx, 0)) + 1
+    else:
+        assert sz_source == "full"
+        sz_lo = jnp.int32(0)
+        sz_hi = jnp.int32(n_sz)
 
     if member_expand:
         # Kernel-side lane expansion of this block's bin-row membership

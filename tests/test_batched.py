@@ -189,6 +189,23 @@ class TestBatchedParity:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
 
+    def test_guard_far_light_exact_dot(self):
+        # A VERY far light (L1 distance ~2^19, beyond where rn_div_int
+        # actually breaks — the 2^13 guard bound is conservative) must
+        # reroute AND shade with the exact-geometry dot: the fast path's
+        # divkernel-computed dot/inv are garbage at this distance, so
+        # the reroute branch recomputes them (a reroute that fixed lit
+        # but kept the fast dot would still corrupt the final factor).
+        scene = demo_world(8)
+        ds = DeviceScene.from_scene(scene)
+        a_scan = make_anim(scene, batched=False)
+        a_bat = make_anim(scene, batched=True)
+        players, lights = sweep(a_scan, scene, 2)
+        lights = lights.at[1].set(jnp.asarray([600000, 900, 80], jnp.int32))
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)
+
     @pytest.mark.slow
     def test_lane_groups_match_whole_width(self):
         # Per-lane-tile candidate pruning (shadow_lane_groups > 1) is an
