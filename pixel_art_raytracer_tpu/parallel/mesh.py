@@ -45,6 +45,12 @@ def make_mesh(n_devices: int | None = None,
     """
     devices = jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh({n}): backend supplies only {len(devices)} devices "
+            f"({devices[0].platform}); for a virtual CPU mesh set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n} before jax "
+            f"initialises")
     devices = np.asarray(devices[:n])
     if frame_parallel is None:
         frame_parallel = 1
