@@ -170,6 +170,16 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
                  and cfg.bin_size % R == 0 and H % R == 0 and R % 8 == 0
                  and getattr(r, "shadow_member_expand", True)
                  and not getattr(r, "shadow_shade_kernel", False))
+    if fused:
+        # VMEM budget gate (VERDICT r4 #7): wide lane-tiled frames blow
+        # the fused kernel's one-launch scratch (keys + bitmap +
+        # expansion); fall back to the two-kernel path (whose trace
+        # kernel lane-tiles) instead of a Mosaic compile error.
+        from ..ops import fused_pallas as _fp
+
+        fused = _fp.fused_fits(cfg, tables, R, w_pad,
+                               field_pack=r.trace_field_pack,
+                               kernel_expand=kexp, pick2=pick2)
     # In-kernel ray-dot (shade + pick2 + two-band normals): the kernel
     # derives the Lambert dot itself via correctly-rounded divisions
     # (ops/divkernel), so shade-in-kernel costs NO extra pixel window —

@@ -48,6 +48,60 @@ from ..config import RenderConfig
 from . import shadow_pallas, trace_pallas
 
 
+# Mosaic's scoped-vmem stack is 16 MB; leave headroom for the compiler's
+# own temporaries (the direct-keys trace variant already OOM'd the stack
+# once at ~full budget, trace_pallas.py).  Shapes whose estimate exceeds
+# this must take the two-kernel path (which lane-tiles the trace kernel).
+VMEM_BUDGET_BYTES = 12 * 2 ** 20
+
+
+def fused_vmem_bytes(config: RenderConfig, tables, rows_per_block: int,
+                     w_pad: int, field_pack: bool = True,
+                     kernel_expand: bool = False,
+                     pick2: bool = True) -> int:
+    """Estimated per-grid-step VMEM residency of the fused kernel.
+
+    Mirrors ``fused_call_batched``'s scratch_shapes plus the pipelined
+    input/output windows (x2 for double buffering).  Conservative on the
+    small terms; exact on the dominant keys scratch (R*NC, w_pad).
+    """
+    cfg = config
+    R = rows_per_block
+    NC = cfg.hash_length * cfg.bin_capacity
+    n_f = 7 if field_pack else 12
+    SZ = tables.sz_hi - tables.sz_lo
+    n_words = -(-cfg.hash_volume // 32)
+    MT = 2 * (SZ + 1) * n_words
+    KXP = 128                                   # lane-padded small minors
+    scratch = (cfg.hash_length * R * w_pad      # mkey
+               + cfg.hash_length * w_pad        # empty
+               + R * NC * w_pad                 # keys (dominant)
+               + (SZ + 1) * n_words * w_pad     # mexp
+               + R * w_pad) * 4                 # wcur
+    n_picks = 2 if pick2 else 3
+    outs = 2 * (n_picks + 1) * R * w_pad * 4
+    tab_minor = KXP if kernel_expand else w_pad
+    tab_win = 2 * n_f * NC * tab_minor * 4
+    msmall_win = 2 * MT * KXP * 4
+    selm_win = KXP * w_pad * 4 * (2 if kernel_expand else 1)
+    return scratch + outs + tab_win + msmall_win + selm_win
+
+
+def fused_fits(config: RenderConfig, tables, rows_per_block: int,
+               w_pad: int, field_pack: bool = True,
+               kernel_expand: bool = False, pick2: bool = True) -> bool:
+    """Host-side gate: does the fused kernel fit the VMEM budget?
+
+    Callers (models/batched.py) fall back to the two-kernel path when
+    this is False instead of hitting a Mosaic scoped-vmem compile error
+    (VERDICT r4 #7); the trace kernel lane-tiles wide frames, the fused
+    kernel deliberately does not.
+    """
+    return fused_vmem_bytes(config, tables, rows_per_block, w_pad,
+                            field_pack, kernel_expand,
+                            pick2) <= VMEM_BUDGET_BYTES
+
+
 def _fused_kernel(row0_ref, meta_ref, ptab_ref, tab_ref, selm_ref, *rest,
                   config, rows: int, n_cands: int, nc2: int, w_pad: int,
                   segments, packed_fields: bool, pick2: bool,
@@ -154,6 +208,16 @@ def fused_call_batched(tab, segments, blk_counts, lights, cword, cmask,
     assert MT == 2 * (SZ + 1) * n_words
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     zmul, zshift = shadow_pallas.trunc_div_magic(bs, (1 << 14) + 32)
+
+    est = fused_vmem_bytes(cfg, tables, R, w_pad,
+                           field_pack=packed_fields,
+                           kernel_expand=kernel_expand, pick2=pick2)
+    if est > VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"fused kernel VMEM estimate {est / 2**20:.1f} MB exceeds the "
+            f"{VMEM_BUDGET_BYTES / 2**20:.0f} MB budget at R={R}, "
+            f"w_pad={w_pad}; use the two-kernel path (fused_fits gates "
+            f"this in models/batched.py)")
 
     # meta: per-block counts + (placeholder) sz-range slots + the light
     # scalars.  The sz slots keep meta_off indexing identical to the

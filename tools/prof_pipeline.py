@@ -102,6 +102,11 @@ def main() -> None:
     ap.add_argument("--nolists-sweep", action="store_true",
                     help="A/B all-visits kernel (no relevance/lists, "
                          "r.shadow_no_lists) vs pruned per-tile lists")
+    ap.add_argument("--fused-sweep", action="store_true",
+                    help="A/B the fused trace+shadow kernel "
+                         "(r.fuse_trace_shadow) vs the two-kernel "
+                         "default; fused configs need --rows == "
+                         "--trace-rows (others are skipped)")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="also time N back-to-back dispatches materialised "
                          "together (does the dispatch floor overlap "
@@ -208,6 +213,8 @@ def main() -> None:
                else [getattr(r, "shadow_int_geom", False)])
         nls = ([True, False] if args.nolists_sweep
                else [getattr(r, "shadow_no_lists", False)])
+        fss = ([True, False] if args.fused_sweep
+               else [getattr(r, "fuse_trace_shadow", False)])
         # Compile every config first, then time them in interleaved
         # rounds: the axon tunnel's ambient load drifts on the minutes
         # scale (same-config repeats differ by up to 0.07 ms/frame), so
@@ -223,19 +230,24 @@ def main() -> None:
                             import itertools
 
                             for (bo, ik, fpb, tfpb, scap, wm, kx, mx, sh,
-                                 p2, lc, wd, gr, rd, rr, ig, nl) in \
+                                 p2, lc, wd, gr, rd, rr, ig, nl, fs) in \
                                     itertools.product(bitmaps, ikeys,
                                                       fpbs, tfpbs, scaps,
                                                       winner_modes, kexps,
                                                       mxs, shades, pick2s,
                                                       lcaps, wdots, grecs,
-                                                      rds, rrs, igs, nls):
+                                                      rds, rrs, igs, nls,
+                                                      fss):
                                 key = (rows, groups, trows, ch, bp,
                                        bo, ik, fpb, tfpb, scap, wm, kx,
                                        mx, sh, p2, lc, wd, gr, rd, rr,
-                                       ig, nl)
+                                       ig, nl, fs)
                                 if any(e[0] == key for e in entries):
                                     continue
+                                if fs and (trows != rows
+                                           or scap is not None
+                                           and scap < cfg.bin_capacity):
+                                    continue    # fused gate would no-op
                                 r.shadow_box_pack = bp
                                 r.shadow_winner_inputs = wm
                                 r.trace_kernel_expand = kx
@@ -249,6 +261,7 @@ def main() -> None:
                                 r.shadow_rel_range = rr
                                 r.shadow_int_geom = ig
                                 r.shadow_no_lists = nl
+                                r.fuse_trace_shadow = fs
                                 shadow_pallas.BITMAP_ONDEMAND = bo
                                 trace_pallas.INCREMENTAL_KEYS = ik
                                 shadow_pallas.FRAMES_PER_BLOCK = fpb
@@ -273,7 +286,7 @@ def main() -> None:
         rays = 2 * cfg.view_width * cfg.view_height * F
         for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb, scap,
              wm, kx, mx, sh, p2, lc, wd, gr, rd, rr,
-             ig, nl), _, ts in entries:
+             ig, nl, fs), _, ts in entries:
             med = float(np.median(ts))
             lo = float(np.min(ts))
             print(f"R={rows} G={groups} TR={trows} C={ch} pack={int(bp)} "
@@ -281,7 +294,7 @@ def main() -> None:
                   f"cap={scap} wm={int(wm)} kx={int(kx)} mx={int(mx)} "
                   f"sh={int(sh)} p2={int(p2)} lc={lc} wd={int(wd)} "
                   f"gr={int(gr)} rd={int(rd)} rr={int(rr)} "
-                  f"ig={int(ig)} nl={int(nl)} FULL "
+                  f"ig={int(ig)} nl={int(nl)} fu={int(fs)} FULL "
                   f"med {med*1e3:8.2f} ms ({med*1e3/F:6.3f} ms/f, "
                   f"{rays/med/1e6:6.1f} Mr/s)  best {lo*1e3:8.2f} "
                   f"({lo*1e3/F:6.3f})")
@@ -290,7 +303,7 @@ def main() -> None:
 
             for (rows, groups, trows, ch, bp, bo, ik, fpb, tfpb,
                  scap, wm, kx, mx, sh, p2, lc, wd, gr, rd,
-                 rr, ig, nl), fn, _ in entries:
+                 rr, ig, nl, fs), fn, _ in entries:
                 def burst(p, l, n=args.pipeline):
                     outs = [fn(p, l) for _ in range(n)]
                     return [np.asarray(o) for o in outs]
