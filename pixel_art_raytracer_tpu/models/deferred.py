@@ -231,8 +231,11 @@ class DeferredRenderer:
         # trace->shadow XLA glue pass disappear.  Requires trace_packed
         # + winner inputs + member_expand + the fallback guard; the
         # batched driver falls back to the two-kernel pipeline when the
-        # requirements don't hold.  Default OFF until measured on
-        # hardware (flip after an interleaved A/B).
+        # requirements don't hold.  Measured (r5, interleaved A/B,
+        # docs/PERF.md): speed-NEUTRAL at F=64 and F=256, pixel-exact on
+        # TPU (tools/verify_fused_tpu) — default OFF so the two-kernel
+        # path keeps the wider config surface (lane groups, compaction,
+        # multi/directional lights) as the one everyone runs.
         self.fuse_trace_shadow = False
         # All-visits shadow kernel (batched pipeline): skip relevance +
         # list compaction entirely — the kernel visits EVERY live merged
@@ -243,7 +246,9 @@ class DeferredRenderer:
         # tile, so its visits cannot set occlusion.  Trades ~20-40% more
         # kernel visits for deleting the rel fold, the top-k lists, the
         # lists HBM table, and one scalar load per visit (the list
-        # indirection).  Default set by measurement (see docs/PERF.md).
+        # indirection).  Measured (r5, interleaved A/B, docs/PERF.md):
+        # 0.834 vs 0.825 ms/f at F=64, 0.629 vs 0.631 at F=256 —
+        # neutral-to-slightly-slower, so pruned lists stay the default.
         self.shadow_no_lists = False
         # Set once the jitted pipeline has traced with this renderer as a
         # static argument; configure_for() refuses to mutate after that
