@@ -189,6 +189,25 @@ class TestBatchedParity:
         f_bat = np.asarray(a_bat.render_states(ds, players, lights))
         np.testing.assert_array_equal(f_bat, f_scan)
 
+    def test_guard_far_light_reroute(self):
+        # L1 light distance ~20k — past the 2^13 guard bound, so the
+        # batched pipeline must reroute to the exact dynamic march and
+        # still pixel-match the per-frame scan path.  The march length
+        # scales with light distance, so this default-tier variant keeps
+        # the light moderate; the slow-tier test below pushes it to
+        # ~2^19 (beyond where rn_div_int actually breaks) to prove the
+        # reroute recomputes the dot instead of keeping the fast one.
+        scene = demo_world(8)
+        ds = DeviceScene.from_scene(scene)
+        a_scan = make_anim(scene, batched=False)
+        a_bat = make_anim(scene, batched=True)
+        players, lights = sweep(a_scan, scene, 2)
+        lights = lights.at[1].set(jnp.asarray([20000, 900, 80], jnp.int32))
+        f_scan = np.asarray(a_scan.render_states(ds, players, lights))
+        f_bat = np.asarray(a_bat.render_states(ds, players, lights))
+        np.testing.assert_array_equal(f_bat, f_scan)
+
+    @pytest.mark.slow
     def test_guard_far_light_exact_dot(self):
         # A VERY far light (L1 distance ~2^19, beyond where rn_div_int
         # actually breaks — the 2^13 guard bound is conservative) must
@@ -196,6 +215,8 @@ class TestBatchedParity:
         # divkernel-computed dot/inv are garbage at this distance, so
         # the reroute branch recomputes them (a reroute that fixed lit
         # but kept the fast dot would still corrupt the final factor).
+        # Slow tier: the exact march walks ~15k hash cells per frame in
+        # interpret mode (~25 min of the old 47-min default run).
         scene = demo_world(8)
         ds = DeviceScene.from_scene(scene)
         a_scan = make_anim(scene, batched=False)
