@@ -262,8 +262,10 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
         if not winner_mode:
             ent_p = _padw(gbuf.entity_index, w_pad)
             oy_p, oz_p = _padw(origin[1], w_pad), _padw(origin[2], w_pad)
-    G = shadow_pallas.effective_lane_groups(
-        w_pad, lane_groups if w_pad % (lane_groups * 128) == 0 else 1)
+    G = shadow_pallas.fit_lane_groups(
+        w_pad, lane_groups if w_pad % (lane_groups * 128) == 0 else 1,
+        cfg, tables, R,
+        member_expand=bool(getattr(r, "shadow_member_expand", True)))
 
     def light_pass(lights_f, upto=None):
         """Stages 3-4 for one (F, 3) light set -> (dot, lit) (or an

@@ -60,6 +60,55 @@ def effective_lane_groups(w_pad: int, requested: int = 1,
     return lanes128
 
 
+# Budget for the host-estimable terms; Mosaic's own block temporaries
+# (which the estimate cannot see and which also scale with n_words*gw)
+# take the rest of the ~16 MB stack.  Calibration: the 10k-box 2048^2
+# scale scene (n_words=169, SZ=9, R=8 because 2048 % 40 != 0) needs a
+# 17.73 MB stack at gw=512 (observed compile OOM, round 5) with a
+# host-estimable footprint of ~7.8 MB — so the budget sits below that
+# to force gw<=256 there, while graybox (n_words=24, estimate ~3.1 MB)
+# keeps its measured-optimal single 512-lane tile.
+LANE_FIT_BUDGET_BYTES = 6 * 2 ** 20
+
+
+def fit_lane_groups(w_pad: int, requested: int, config: RenderConfig,
+                    tables: ShadowTables, rows_per_block: int,
+                    member_expand: bool = True) -> int:
+    """VMEM-aware lane-group count for the shadow kernel.
+
+    The kernel holds the whole membership table slice per lane tile —
+    ``(SZ+1) * n_words * gw`` words as the member-expand scratch (or the
+    lane-expanded t_row windows when ``member_expand`` is off) — so its
+    scoped-vmem need scales with the HASH VOLUME, not just the frame
+    width.  Graybox's 24 words fit a 512-lane tile easily; a 10k-box
+    2048^2 world has ~169 words and OOM'd Mosaic's 16 MB stack at
+    gw=512 (round-5 scale-bench regression).  Pick the widest 128-lane-
+    multiple tile whose estimated residency fits ``LANE_FIT_BUDGET_BYTES``,
+    then delegate to ``effective_lane_groups`` for divisibility."""
+    cfg = config
+    SZ = tables.sz_hi - tables.sz_lo
+    n_words = -(-cfg.hash_volume // 32)
+    R = rows_per_block
+    mt_rows = 2 * (SZ + 1) * n_words
+
+    def est(gw: int) -> int:
+        member = (SZ + 1) * n_words * gw          # scratch (mx) / t_row
+        if member_expand:
+            member += 2 * mt_rows * 128           # msmall window (dbuf)
+            member += 2 * 128 * gw                # lane-selection window
+        else:
+            member *= 2                           # double-buffered window
+        pix = 2 * 9 * R * gw                      # pixel windows + out
+        return 4 * (member + pix + R * gw)        # + wcur
+
+    max_tile = 128
+    for gw in (512, 384, 256, 128):
+        if est(gw) <= LANE_FIT_BUDGET_BYTES:
+            max_tile = gw
+            break
+    return effective_lane_groups(w_pad, requested, max_tile=max_tile)
+
+
 def used_block_relevance(member, szidx, bg, config: RenderConfig,
                          tables: ShadowTables, rows_per_block: int,
                          row0=0, lane_groups: int | None = None):
@@ -1651,7 +1700,8 @@ def trace_light_pallas(member, szidx, bg, start_ent, oy, oz, ivx, ivy, ivz,
     H = oy.shape[0]
     w_pad = oy.shape[1]
     R = rows_per_block
-    G = effective_lane_groups(w_pad, lane_groups)
+    G = fit_lane_groups(w_pad, lane_groups, cfg, tables, R,
+                        member_expand=False)
 
     member_words = pack_member_words(member)
     n_words = member_words.shape[1]

@@ -246,3 +246,41 @@ class TestBenchPath:
             sc.pos[0] = players[k]
             img_p, _ = oracle.render_frame(sc, Light(*map(int, lights[k])))
             np.testing.assert_array_equal(frames[k], img_p, err_msg=f"frame {k}")
+
+
+class TestLaneFit:
+    """VMEM-aware shadow lane-group selection (round-5 scale regression:
+    the kernel's membership state scales with the HASH VOLUME —
+    (SZ+1)*n_words*gw words per lane tile — so big worlds OOM'd Mosaic's
+    16 MB scoped-vmem stack at the graybox-optimal 512-lane tile)."""
+
+    def test_graybox_keeps_single_512_tile(self):
+        from pixel_art_raytracer_tpu.ops import shadow_fast, shadow_pallas
+
+        cfg = DEFAULT_CONFIG
+        tables = shadow_fast.default_tables(cfg)
+        w_pad = -(-cfg.view_width // 128) * 128
+        assert shadow_pallas.fit_lane_groups(w_pad, 1, cfg, tables,
+                                             40) == 1
+
+    def test_big_world_splits_lanes(self):
+        # The 10k-box 2048^2 scale shape (bin 80, hash 26x26x8 ->
+        # n_words=169) needed a 17.73 MB stack at gw=512 (observed
+        # compile OOM); the fit must choose gw <= 256.
+        from pixel_art_raytracer_tpu.ops import shadow_fast, shadow_pallas
+
+        cfg = RenderConfig(view_width=2048, view_height=2048,
+                           view_length=640, bin_size=80)
+        tables = shadow_fast.default_tables(cfg)
+        w_pad = -(-cfg.view_width // 128) * 128
+        g = shadow_pallas.fit_lane_groups(w_pad, 1, cfg, tables, 40)
+        assert w_pad // g <= 256, (g, w_pad // g)
+
+    def test_requested_groups_still_honoured(self):
+        from pixel_art_raytracer_tpu.ops import shadow_fast, shadow_pallas
+
+        cfg = DEFAULT_CONFIG
+        tables = shadow_fast.default_tables(cfg)
+        w_pad = -(-cfg.view_width // 128) * 128
+        assert shadow_pallas.fit_lane_groups(w_pad, 2, cfg, tables,
+                                             40) == 2
