@@ -382,6 +382,14 @@ def render_states_batched(renderer, static_bins, dscene, players, lights,
             lcap = getattr(r, "shadow_list_cap", None)
             if r.shadow_guard != "fallback":
                 lcap = None
+            # The cap was tuned on graybox (~48 relevant/tile); a dense
+            # world whose merged-candidate count dwarfs it would trip
+            # the reroute guard EVERY frame and run the exact march at
+            # full scale (observed killing the remote worker at 2048² —
+            # round-5 scale bisection).  Keep the full argsort instead
+            # when per-tile counts plausibly exceed the cap.
+            if lcap is not None and cands.bin.shape[-1] > 4 * lcap:
+                lcap = None
             lists, blk_counts = jax.vmap(
                 lambda rc: shadow_pallas.candidate_lists_from_relc(
                     rc, cap=lcap)
